@@ -1,0 +1,515 @@
+"""Flatten a HostScene + BVH into device-resident SoA arrays.
+
+The TPU analog of the reference's BeginRender upload (pathtracer.cu:
+2568-2695): everything the kernels need becomes a flat jnp array inside a
+single `DeviceScene` pytree that can be passed through `jit` / `shard_map`.
+Scene buffers are read-only and replicated across devices; primitives are
+stored leaf-contiguously in BVH order so traversal reads are linear.
+
+Anything that must be a *static* compile-time property (integrator type,
+presence of env light, geometry-type mix, resolution) lives in
+`StaticConfig`, which is hashable and passed as a static jit argument.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from gpu_pathtracer_tpu.geom.bvh import FlatBVH, load_or_build_bvh
+from gpu_pathtracer_tpu.scene.model import (
+    GeometryType, HostScene, IntegratorType, MediumType,
+)
+
+LUMA64 = np.array([0.212671, 0.715160, 0.072169])
+
+
+@struct.dataclass
+class DeviceCamera:
+    """Device camera record (camera.h:8-46, precomputed film constants)."""
+    position: jnp.ndarray  # [3]
+    u: jnp.ndarray         # [3]
+    v: jnp.ndarray         # [3]
+    w: jnp.ndarray         # [3]
+    resolution: jnp.ndarray  # [2] (x, y)
+    distance: jnp.ndarray  # scalar
+    half_w: jnp.ndarray    # scalar: film half-width at `distance`
+    half_h: jnp.ndarray    # scalar
+    pixel2screen: jnp.ndarray  # [2]
+    ratio: jnp.ndarray     # focalDistance / distance
+    area: jnp.ndarray      # 4*half_w*half_h
+    aperture: jnp.ndarray  # scalar
+    focal: jnp.ndarray     # scalar
+
+
+@struct.dataclass
+class DeviceScene:
+    # BVH (geom/bvh.py layout)
+    node_bbox_min: jnp.ndarray   # [N, 3]
+    node_bbox_max: jnp.ndarray   # [N, 3]
+    node_second_child: jnp.ndarray  # [N] i32 (-1 for leaves)
+    node_start: jnp.ndarray      # [N] i32
+    node_end: jnp.ndarray        # [N] i32 (inclusive)
+
+    # primitives, leaf-contiguous BVH order
+    prim_type: jnp.ndarray       # [P] i32 (GeometryType)
+    v0: jnp.ndarray              # [P, 3] tri v0 | line p0 | sphere center
+    v1: jnp.ndarray              # [P, 3] tri v1 | line p1
+    v2: jnp.ndarray              # [P, 3] tri v2
+    n0: jnp.ndarray              # [P, 3]
+    n1: jnp.ndarray              # [P, 3]
+    n2: jnp.ndarray              # [P, 3]
+    uv0: jnp.ndarray             # [P, 2]
+    uv1: jnp.ndarray             # [P, 2]
+    uv2: jnp.ndarray             # [P, 2]
+    dpdv_unit: jnp.ndarray       # [P, 3] precomputed shading-frame column
+    radius0: jnp.ndarray         # [P] sphere radius | line width0
+    radius1: jnp.ndarray         # [P] line width1
+    mat_idx: jnp.ndarray         # [P] i32
+    light_idx: jnp.ndarray       # [P] i32
+    bssrdf_idx: jnp.ndarray      # [P] i32
+    medium_inside: jnp.ndarray   # [P] i32
+    medium_outside: jnp.ndarray  # [P] i32
+
+    # materials
+    m_type: jnp.ndarray          # [M] i32
+    m_alpha_u: jnp.ndarray       # [M]
+    m_alpha_v: jnp.ndarray       # [M]
+    m_inside_ior: jnp.ndarray    # [M]
+    m_outside_ior: jnp.ndarray   # [M]
+    m_k: jnp.ndarray             # [M, 3]
+    m_eta: jnp.ndarray           # [M, 3]
+    m_diffuse: jnp.ndarray       # [M, 3]
+    m_specular: jnp.ndarray      # [M, 3]
+    m_tex_idx: jnp.ndarray       # [M] i32 (-1 = constant diffuse)
+
+    # textures: one flat uint8 buffer + per-texture (offset, w, h)
+    tex_data: jnp.ndarray        # [T, 3] u8, linear space
+    tex_offset: jnp.ndarray      # [Nt] i32
+    tex_w: jnp.ndarray           # [Nt] i32
+    tex_h: jnp.ndarray           # [Nt] i32
+
+    # area lights (emissive triangles, area.h:7-42)
+    l_v0: jnp.ndarray            # [L, 3]
+    l_v1: jnp.ndarray            # [L, 3]
+    l_v2: jnp.ndarray            # [L, 3]
+    l_n0: jnp.ndarray            # [L, 3]
+    l_n1: jnp.ndarray            # [L, 3]
+    l_n2: jnp.ndarray            # [L, 3]
+    l_radiance: jnp.ndarray      # [L, 3]
+    l_medium: jnp.ndarray        # [L] i32
+    light_cdf: jnp.ndarray       # [L + 2] f32 normalized CDF (scene.h:64-82)
+
+    # infinite environment light (infinite.h)
+    env_data: jnp.ndarray        # [He, We, 3] f32 ([1,1,3] dummy if absent)
+    env_u: jnp.ndarray           # [3]
+    env_v: jnp.ndarray           # [3]
+    env_w: jnp.ndarray           # [3]
+    world_center: jnp.ndarray    # [3] scene bounding-sphere center
+    world_radius: jnp.ndarray    # scalar
+
+    # media
+    med_type: jnp.ndarray        # [K] i32
+    med_g: jnp.ndarray           # [K]
+    med_sigma_a: jnp.ndarray     # [K, 3]
+    med_sigma_s: jnp.ndarray     # [K, 3]
+    med_sigma_t: jnp.ndarray     # [K, 3]
+    med_density: jnp.ndarray     # [K, Dz, Dy, Dx] f32 (padded)
+    med_n: jnp.ndarray           # [K, 3] i32 (nx, ny, nz)
+    med_p0: jnp.ndarray          # [K, 3]
+    med_p1: jnp.ndarray          # [K, 3]
+    med_inv_max_density: jnp.ndarray  # [K]
+    med_eval_tr_type: jnp.ndarray     # [K] i32
+
+    # bssrdfs
+    b_sigma_a: jnp.ndarray       # [B, 3]
+    b_sigma_sp: jnp.ndarray      # [B, 3]
+    b_eta: jnp.ndarray           # [B]
+    b_g: jnp.ndarray             # [B]
+
+    camera: DeviceCamera
+    epsilon: jnp.ndarray         # scalar ray offset (pathtracer.cu:38)
+
+
+@dataclass(frozen=True)
+class StaticConfig:
+    """Hashable compile-time scene facts (static jit args)."""
+    width: int
+    height: int
+    integrator: IntegratorType
+    max_depth: int
+    max_dist: float
+    init_radius: float
+    photons_per_iteration: int
+    vpl_bias: float
+    n_lights: int
+    has_infinite: bool
+    has_triangles: bool
+    has_spheres: bool
+    has_lines: bool
+    has_textures: bool
+    has_media: bool
+    filmic: bool
+    environment_camera: bool
+    camera_medium: int
+    med_iter_max: int
+    n_primitives: int
+    n_nodes: int
+    material_types: tuple  # sorted tuple of MaterialType ints present
+
+
+def _tri_dpdv(pos: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Per-triangle dpdv column of the shading frame (mesh.h:69-91).
+
+    When the uv determinant is degenerate the reference falls back to
+    MakeCoordinate on the geometric normal and uses its `w` output.
+    """
+    e1 = pos[:, 1] - pos[:, 0]
+    e2 = pos[:, 2] - pos[:, 0]
+    duv1 = uv[:, 1] - uv[:, 0]
+    duv2 = uv[:, 2] - uv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok = np.abs(det) >= 1e-8
+    inv = 1.0 / np.where(ok, det, 1.0)
+    dpdv = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) * inv[:, None]
+
+    nn = np.cross(e1, e2)
+    nn /= np.maximum(np.linalg.norm(nn, axis=-1, keepdims=True), 1e-30)
+    # MakeCoordinate w-branch (wrap.h:6-16)
+    use_x = np.abs(nn[:, 0]) > np.abs(nn[:, 1])
+    inv_x = 1.0 / np.sqrt(nn[:, 0] ** 2 + nn[:, 2] ** 2 + 1e-30)
+    wx = np.stack([nn[:, 2] * inv_x, np.zeros_like(inv_x),
+                   -nn[:, 0] * inv_x], -1)
+    inv_y = 1.0 / np.sqrt(nn[:, 1] ** 2 + nn[:, 2] ** 2 + 1e-30)
+    wy = np.stack([np.zeros_like(inv_y), nn[:, 2] * inv_y,
+                   -nn[:, 1] * inv_y], -1)
+    w = np.where(use_x[:, None], wx, wy)
+
+    out = np.where(ok[:, None], dpdv, w)
+    ln = np.linalg.norm(out, axis=-1, keepdims=True)
+    return (out / np.maximum(ln, 1e-30)).astype(np.float32)
+
+
+def _prim_bboxes(scene: HostScene):
+    """Per-primitive AABBs for the BVH build."""
+    n = len(scene.primitives)
+    bmin = np.empty((n, 3), np.float32)
+    bmax = np.empty((n, 3), np.float32)
+    for i, p in enumerate(scene.primitives):
+        if p.type == GeometryType.TRIANGLE:
+            tri = scene.tri_positions[p.tri_index]
+            bmin[i] = tri.min(axis=0)
+            bmax[i] = tri.max(axis=0)
+        elif p.type == GeometryType.SPHERE:
+            bmin[i] = p.center - p.radius
+            bmax[i] = p.center + p.radius
+        else:  # LINE (line.h:15-25)
+            w = max(p.width0, p.width1)
+            lo = np.minimum(p.p0, p.p1) - w
+            hi = np.maximum(p.p0, p.p1) + w
+            bmin[i] = lo
+            bmax[i] = hi
+    return bmin, bmax
+
+
+def flatten_scene(scene: HostScene, cache: bool = True
+                  ) -> tuple[DeviceScene, StaticConfig]:
+    bmin, bmax = _prim_bboxes(scene)
+    bvh: FlatBVH = load_or_build_bvh(bmin, bmax, cache=cache)
+    order = bvh.prim_order
+    P = order.shape[0]
+
+    prim_type = np.zeros(P, np.int32)
+    v0 = np.zeros((P, 3), np.float32)
+    v1 = np.zeros((P, 3), np.float32)
+    v2 = np.zeros((P, 3), np.float32)
+    n0 = np.zeros((P, 3), np.float32)
+    n1 = np.zeros((P, 3), np.float32)
+    n2 = np.zeros((P, 3), np.float32)
+    uv0 = np.zeros((P, 2), np.float32)
+    uv1 = np.zeros((P, 2), np.float32)
+    uv2 = np.zeros((P, 2), np.float32)
+    radius0 = np.zeros(P, np.float32)
+    radius1 = np.zeros(P, np.float32)
+    mat_idx = np.full(P, -1, np.int32)
+    light_idx = np.full(P, -1, np.int32)
+    bssrdf_idx = np.full(P, -1, np.int32)
+    medium_inside = np.full(P, -1, np.int32)
+    medium_outside = np.full(P, -1, np.int32)
+
+    tri_rows = []
+    tri_slots = []
+    for slot, pi in enumerate(order):
+        p = scene.primitives[pi]
+        prim_type[slot] = int(p.type)
+        mat_idx[slot] = p.matIdx
+        light_idx[slot] = p.lightIdx
+        bssrdf_idx[slot] = p.bssrdfIdx
+        medium_inside[slot] = p.mediumInside
+        medium_outside[slot] = p.mediumOutside
+        if p.type == GeometryType.TRIANGLE:
+            tri_rows.append(p.tri_index)
+            tri_slots.append(slot)
+        elif p.type == GeometryType.SPHERE:
+            v0[slot] = p.center
+            radius0[slot] = p.radius
+        else:
+            v0[slot] = p.p0
+            v1[slot] = p.p1
+            radius0[slot] = p.width0
+            radius1[slot] = p.width1
+
+    dpdv = np.zeros((P, 3), np.float32)
+    if tri_rows:
+        tr = np.asarray(tri_rows)
+        ts = np.asarray(tri_slots)
+        pos = scene.tri_positions[tr]
+        nor = scene.tri_normals[tr]
+        uvs = scene.tri_uvs[tr]
+        v0[ts], v1[ts], v2[ts] = pos[:, 0], pos[:, 1], pos[:, 2]
+        n0[ts], n1[ts], n2[ts] = nor[:, 0], nor[:, 1], nor[:, 2]
+        uv0[ts], uv1[ts], uv2[ts] = uvs[:, 0], uvs[:, 1], uvs[:, 2]
+        dpdv[ts] = _tri_dpdv(pos, uvs)
+
+    # ---- materials --------------------------------------------------------
+    M = max(len(scene.materials), 1)
+    m_type = np.zeros(M, np.int32)
+    m_alpha_u = np.full(M, 0.01, np.float32)
+    m_alpha_v = np.full(M, 0.01, np.float32)
+    m_inside = np.ones(M, np.float32)
+    m_outside = np.ones(M, np.float32)
+    m_k = np.zeros((M, 3), np.float32)
+    m_eta = np.zeros((M, 3), np.float32)
+    m_diffuse = np.ones((M, 3), np.float32)
+    m_specular = np.ones((M, 3), np.float32)
+    m_tex = np.full(M, -1, np.int32)
+    for i, m in enumerate(scene.materials):
+        m_type[i] = int(m.type)
+        m_alpha_u[i] = m.alphaU
+        m_alpha_v[i] = m.alphaV
+        m_inside[i] = m.insideIOR
+        m_outside[i] = m.outsideIOR
+        m_k[i] = m.k
+        m_eta[i] = m.eta
+        m_diffuse[i] = m.diffuse
+        m_specular[i] = m.specular
+        m_tex[i] = m.textureIdx
+
+    # ---- textures ---------------------------------------------------------
+    if scene.textures:
+        tex_offset = []
+        tex_w = []
+        tex_h = []
+        chunks = []
+        off = 0
+        for t in scene.textures:
+            tex_offset.append(off)
+            tex_w.append(t.width)
+            tex_h.append(t.height)
+            chunks.append(t.data.reshape(-1, 3))
+            off += t.width * t.height
+        tex_data = np.concatenate(chunks, axis=0)
+        tex_offset = np.asarray(tex_offset, np.int32)
+        tex_w = np.asarray(tex_w, np.int32)
+        tex_h = np.asarray(tex_h, np.int32)
+    else:
+        tex_data = np.zeros((1, 3), np.uint8)
+        tex_offset = np.zeros(1, np.int32)
+        tex_w = np.ones(1, np.int32)
+        tex_h = np.ones(1, np.int32)
+
+    # ---- lights -----------------------------------------------------------
+    L = max(len(scene.lights), 1)
+    l_v0 = np.zeros((L, 3), np.float32)
+    l_v1 = np.zeros((L, 3), np.float32)
+    l_v2 = np.zeros((L, 3), np.float32)
+    l_n0 = np.zeros((L, 3), np.float32)
+    l_n1 = np.zeros((L, 3), np.float32)
+    l_n2 = np.zeros((L, 3), np.float32)
+    l_rad = np.zeros((L, 3), np.float32)
+    l_med = np.full(L, -1, np.int32)
+    for i, lt in enumerate(scene.lights):
+        tri = scene.tri_positions[lt.tri_index]
+        nor = scene.tri_normals[lt.tri_index]
+        l_v0[i], l_v1[i], l_v2[i] = tri
+        l_n0[i], l_n1[i], l_n2[i] = nor
+        l_rad[i] = lt.radiance
+        l_med[i] = lt.medium
+
+    # world bounding sphere from the BVH root box (bbox.h:98-101)
+    rb_min, rb_max = bvh.root_box
+    center = 0.5 * (rb_min + rb_max)
+    radius = float(np.linalg.norm(rb_max - center))
+
+    # light-pick CDF (scene.h:64-82); infinite power uses env texel 0
+    # (infinite.h:43-45 quirk: GetPower() reads data[0]).
+    powers = []
+    for i, lt in enumerate(scene.lights):
+        e1 = l_v1[i] - l_v0[i]
+        e2 = l_v2[i] - l_v0[i]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2))
+        powers.append(float(LUMA64 @ (lt.radiance * area * np.pi)))
+    if scene.infinite is not None:
+        p_inf = 4.0 * np.pi * radius * radius * scene.infinite.data[0, 0]
+        powers.append(float(LUMA64 @ p_inf))
+    cdf = np.zeros(L + 2, np.float64)
+    if powers:
+        cs = np.cumsum(powers)
+        total = cs[-1] if cs[-1] > 0 else 1.0
+        cdf[1:1 + len(powers)] = cs / total
+        cdf[1 + len(powers):] = 1.0
+
+    # ---- environment map --------------------------------------------------
+    if scene.infinite is not None:
+        env_data = scene.infinite.data
+        env_u = scene.infinite.u
+        env_v = scene.infinite.v
+        env_w = scene.infinite.w
+    else:
+        env_data = np.zeros((1, 1, 3), np.float32)
+        env_u = np.array([1, 0, 0], np.float32)
+        env_v = np.array([0, 1, 0], np.float32)
+        env_w = np.array([0, 0, 1], np.float32)
+
+    # ---- media ------------------------------------------------------------
+    K = max(len(scene.mediums), 1)
+    med_type = np.zeros(K, np.int32)
+    med_g = np.zeros(K, np.float32)
+    med_sa = np.zeros((K, 3), np.float32)
+    med_ss = np.zeros((K, 3), np.float32)
+    med_n = np.ones((K, 3), np.int32)
+    med_p0 = np.zeros((K, 3), np.float32)
+    med_p1 = np.ones((K, 3), np.float32)
+    med_imd = np.ones(K, np.float32)
+    med_ett = np.ones(K, np.int32)
+    dz = dy = dx = 1
+    for m in scene.mediums:
+        if m.type == MediumType.HETEROGENEOUS:
+            dz = max(dz, m.nz)
+            dy = max(dy, m.ny)
+            dx = max(dx, m.nx)
+    med_density = np.zeros((K, dz, dy, dx), np.float32)
+    iter_max = 1000
+    for i, m in enumerate(scene.mediums):
+        med_type[i] = int(m.type)
+        med_g[i] = m.g
+        med_sa[i] = m.sigmaA
+        med_ss[i] = m.sigmaS
+        med_ett[i] = m.evalTransmittanceType
+        iter_max = max(iter_max, m.iterMax)
+        if m.type == MediumType.HETEROGENEOUS:
+            med_n[i] = (m.nx, m.ny, m.nz)
+            med_p0[i] = m.p0
+            med_p1[i] = m.p1
+            med_imd[i] = m.inv_max_density
+            med_density[i, :m.nz, :m.ny, :m.nx] = m.density
+
+    # ---- bssrdfs ----------------------------------------------------------
+    B = max(len(scene.bssrdfs), 1)
+    b_sa = np.ones((B, 3), np.float32)
+    b_sp = np.ones((B, 3), np.float32)
+    b_eta = np.full(B, 1.5, np.float32)
+    b_g = np.zeros(B, np.float32)
+    for i, b in enumerate(scene.bssrdfs):
+        b_sa[i] = b.sigmaA
+        b_sp[i] = b.sigmaSP
+        b_eta[i] = b.eta
+        b_g[i] = b.g
+
+    # ---- camera (camera.h:31-46, distance=0.1 per main.cpp:270) -----------
+    cam = scene.camera
+    half_fov = 0.5 * cam.fov
+    half_h = np.tan(np.deg2rad(half_fov)) * cam.distance
+    half_w = half_h * scene.width / scene.height
+    device_camera = DeviceCamera(
+        position=jnp.asarray(cam.position),
+        u=jnp.asarray(cam.u), v=jnp.asarray(cam.v), w=jnp.asarray(cam.w),
+        resolution=jnp.asarray([scene.width, scene.height], jnp.float32),
+        distance=jnp.float32(cam.distance),
+        half_w=jnp.float32(half_w), half_h=jnp.float32(half_h),
+        pixel2screen=jnp.asarray(
+            [2.0 * half_w / scene.width, 2.0 * half_h / scene.height],
+            jnp.float32),
+        ratio=jnp.float32(cam.focalDistance / cam.distance),
+        area=jnp.float32(4.0 * half_w * half_h),
+        aperture=jnp.float32(cam.apertureRadius),
+        focal=jnp.float32(cam.focalDistance),
+    )
+
+    dev = DeviceScene(
+        node_bbox_min=jnp.asarray(bvh.bbox_min),
+        node_bbox_max=jnp.asarray(bvh.bbox_max),
+        node_second_child=jnp.asarray(bvh.second_child),
+        node_start=jnp.asarray(bvh.start),
+        node_end=jnp.asarray(bvh.end),
+        prim_type=jnp.asarray(prim_type),
+        v0=jnp.asarray(v0), v1=jnp.asarray(v1), v2=jnp.asarray(v2),
+        n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
+        uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
+        dpdv_unit=jnp.asarray(dpdv),
+        radius0=jnp.asarray(radius0), radius1=jnp.asarray(radius1),
+        mat_idx=jnp.asarray(mat_idx), light_idx=jnp.asarray(light_idx),
+        bssrdf_idx=jnp.asarray(bssrdf_idx),
+        medium_inside=jnp.asarray(medium_inside),
+        medium_outside=jnp.asarray(medium_outside),
+        m_type=jnp.asarray(m_type),
+        m_alpha_u=jnp.asarray(m_alpha_u), m_alpha_v=jnp.asarray(m_alpha_v),
+        m_inside_ior=jnp.asarray(m_inside),
+        m_outside_ior=jnp.asarray(m_outside),
+        m_k=jnp.asarray(m_k), m_eta=jnp.asarray(m_eta),
+        m_diffuse=jnp.asarray(m_diffuse), m_specular=jnp.asarray(m_specular),
+        m_tex_idx=jnp.asarray(m_tex),
+        tex_data=jnp.asarray(tex_data), tex_offset=jnp.asarray(tex_offset),
+        tex_w=jnp.asarray(tex_w), tex_h=jnp.asarray(tex_h),
+        l_v0=jnp.asarray(l_v0), l_v1=jnp.asarray(l_v1),
+        l_v2=jnp.asarray(l_v2),
+        l_n0=jnp.asarray(l_n0), l_n1=jnp.asarray(l_n1),
+        l_n2=jnp.asarray(l_n2),
+        l_radiance=jnp.asarray(l_rad), l_medium=jnp.asarray(l_med),
+        light_cdf=jnp.asarray(cdf, jnp.float32),
+        env_data=jnp.asarray(env_data),
+        env_u=jnp.asarray(env_u), env_v=jnp.asarray(env_v),
+        env_w=jnp.asarray(env_w),
+        world_center=jnp.asarray(center),
+        world_radius=jnp.float32(radius),
+        med_type=jnp.asarray(med_type), med_g=jnp.asarray(med_g),
+        med_sigma_a=jnp.asarray(med_sa), med_sigma_s=jnp.asarray(med_ss),
+        med_sigma_t=jnp.asarray(med_sa + med_ss),
+        med_density=jnp.asarray(med_density), med_n=jnp.asarray(med_n),
+        med_p0=jnp.asarray(med_p0), med_p1=jnp.asarray(med_p1),
+        med_inv_max_density=jnp.asarray(med_imd),
+        med_eval_tr_type=jnp.asarray(med_ett),
+        b_sigma_a=jnp.asarray(b_sa), b_sigma_sp=jnp.asarray(b_sp),
+        b_eta=jnp.asarray(b_eta), b_g=jnp.asarray(b_g),
+        camera=device_camera,
+        epsilon=jnp.float32(scene.epsilon),
+    )
+
+    static = StaticConfig(
+        width=scene.width,
+        height=scene.height,
+        integrator=scene.integrator.type,
+        max_depth=scene.integrator.maxDepth,
+        max_dist=scene.integrator.maxDist,
+        init_radius=scene.integrator.initRadius,
+        photons_per_iteration=scene.integrator.photonsPerIteration,
+        vpl_bias=scene.integrator.vplBias,
+        n_lights=len(scene.lights),
+        has_infinite=scene.infinite is not None,
+        has_triangles=bool((prim_type == int(GeometryType.TRIANGLE)).any()),
+        has_spheres=bool((prim_type == int(GeometryType.SPHERE)).any()),
+        has_lines=bool((prim_type == int(GeometryType.LINE)).any()),
+        has_textures=bool(scene.textures),
+        has_media=bool(scene.mediums),
+        filmic=scene.camera.filmic,
+        environment_camera=scene.camera.environment,
+        camera_medium=scene.camera.medium,
+        med_iter_max=iter_max,
+        n_primitives=P,
+        n_nodes=bvh.n_nodes,
+        material_types=tuple(sorted({int(m.type) for m in scene.materials})),
+    )
+    return dev, static

@@ -1,0 +1,113 @@
+"""BVH build invariants + traversal-vs-brute-force oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_pathtracer_tpu.geom.bvh import LEAF_SIZE, _build_bvh_numpy
+from gpu_pathtracer_tpu.geom import traverse
+
+
+def random_boxes(n, seed=0):
+    r = np.random.RandomState(seed)
+    centers = r.uniform(-10, 10, (n, 3)).astype(np.float32)
+    half = r.uniform(0.01, 0.5, (n, 3)).astype(np.float32)
+    return centers - half, centers + half
+
+
+def test_build_invariants():
+    bmin, bmax = random_boxes(500)
+    bvh = _build_bvh_numpy(bmin, bmax)
+    # every primitive appears exactly once
+    assert sorted(bvh.prim_order.tolist()) == list(range(500))
+    # leaves bounded
+    leaf = bvh.is_leaf
+    sizes = bvh.end[leaf] - bvh.start[leaf] + 1
+    assert sizes.max() <= LEAF_SIZE
+    # leaf ranges tile [0, P)
+    spans = sorted(zip(bvh.start[leaf].tolist(), bvh.end[leaf].tolist()))
+    cur = 0
+    for s, e in spans:
+        assert s == cur
+        cur = e + 1
+    assert cur == 500
+    # parent boxes contain children; DFS left child = i+1
+    inner = np.where(~leaf)[0]
+    for i in inner:
+        for c in (i + 1, bvh.second_child[i]):
+            assert (bvh.bbox_min[i] <= bvh.bbox_min[c] + 1e-5).all()
+            assert (bvh.bbox_max[i] >= bvh.bbox_max[c] - 1e-5).all()
+
+
+def test_degenerate_flat_cluster():
+    # many coplanar prims (zero z extent): reference would make a giant
+    # leaf; we require bounded leaves via the median fallback
+    bmin, bmax = random_boxes(200, seed=1)
+    bmin[:, 2] = 0.0
+    bmax[:, 2] = 0.0
+    bvh = _build_bvh_numpy(bmin, bmax)
+    leaf = bvh.is_leaf
+    assert (bvh.end[leaf] - bvh.start[leaf] + 1).max() <= LEAF_SIZE
+
+
+@pytest.fixture(scope="module")
+def cornell_flat(cornell_scene):
+    from gpu_pathtracer_tpu.scene.flatten import flatten_scene
+    return flatten_scene(cornell_scene, cache=False)
+
+
+def _random_rays(n, lo, hi, seed=0):
+    r = np.random.RandomState(seed)
+    span = hi - lo
+    ro = (lo - 0.5 * span) + r.uniform(0, 1, (n, 3)) * 2.0 * span
+    rd = r.normal(size=(n, 3))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32)
+
+
+def test_traversal_matches_brute_force(cornell_flat):
+    scene, static = cornell_flat
+    lo = np.asarray(scene.node_bbox_min[0])
+    hi = np.asarray(scene.node_bbox_max[0])
+    ro, rd = _random_rays(512, lo, hi)
+    tmin = jnp.full(512, 1e-3)
+    tmax = jnp.full(512, np.inf)
+
+    hit_bvh = traverse.intersect_closest(scene, static, ro, rd, tmin, tmax)
+    hit_ref = traverse.brute_force_closest(scene, static, ro, rd, tmin, tmax)
+
+    np.testing.assert_array_equal(
+        np.asarray(hit_bvh.valid), np.asarray(hit_ref.valid))
+    v = np.asarray(hit_bvh.valid)
+    np.testing.assert_allclose(
+        np.asarray(hit_bvh.t)[v], np.asarray(hit_ref.t)[v], rtol=1e-4)
+    # same primitive except exact-tie cases
+    same = (np.asarray(hit_bvh.prim_idx)[v] == np.asarray(hit_ref.prim_idx)[v])
+    assert same.mean() > 0.99
+
+
+def test_any_hit_consistent(cornell_flat):
+    scene, static = cornell_flat
+    lo = np.asarray(scene.node_bbox_min[0])
+    hi = np.asarray(scene.node_bbox_max[0])
+    ro, rd = _random_rays(512, lo, hi, seed=3)
+    tmin = jnp.full(512, 1e-3)
+    tmax = jnp.full(512, np.inf)
+    closest = traverse.intersect_closest(scene, static, ro, rd, tmin, tmax)
+    any_hit = traverse.intersect_any(scene, static, ro, rd, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(any_hit),
+                                  np.asarray(closest.valid))
+
+
+def test_any_hit_respects_tmax(cornell_flat):
+    scene, static = cornell_flat
+    lo = np.asarray(scene.node_bbox_min[0])
+    hi = np.asarray(scene.node_bbox_max[0])
+    ro, rd = _random_rays(256, lo, hi, seed=4)
+    tmin = jnp.full(256, 1e-3)
+    closest = traverse.intersect_closest(
+        scene, static, ro, rd, tmin, jnp.full(256, np.inf))
+    # shorten tmax to just before the closest hit: no occlusion
+    short = jnp.where(closest.valid, closest.t * 0.9, 1e-4)
+    blocked = traverse.intersect_any(scene, static, ro, rd, tmin, short)
+    assert not np.asarray(blocked)[np.asarray(closest.valid)].any()
