@@ -1,0 +1,83 @@
+"""Benchmark harness: Mrays/s (traverse+shade) on cornell_box PT at 1024².
+
+Run on the real TPU (default env). Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference publishes no numbers; the target is
+>200 Mrays/s per v5e chip, so vs_baseline = value / 200.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORNELL = "/root/reference/scenes/cornell_box/scene.json"
+TARGET_MRAYS = 200.0
+SIZE = 1024
+MAX_DEPTH = 5
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpu_pathtracer_tpu.core.rng import iteration_key
+    from gpu_pathtracer_tpu.integrators import pt
+    from gpu_pathtracer_tpu.scene.flatten import flatten_scene
+    from gpu_pathtracer_tpu.scene.model import IntegratorType
+    from gpu_pathtracer_tpu.scene.parse import load_scene
+
+    host = load_scene(CORNELL)
+    host.width = host.height = SIZE
+    dev, static = flatten_scene(host)
+    static = dataclasses.replace(
+        static, integrator=IntegratorType.PT, max_depth=MAX_DEPTH,
+        width=SIZE, height=SIZE)
+
+    n = SIZE * SIZE
+    ids = np.arange(n)
+    px = jnp.asarray((ids % SIZE).astype(np.int32))
+    py = jnp.asarray((ids // SIZE).astype(np.int32))
+
+    @jax.jit
+    def step(scene, key):
+        return pt.render_lanes(scene, static, key, px, py, with_stats=True)
+
+    # warmup (compile)
+    for i in range(WARMUP):
+        li, rays = step(dev, iteration_key(0, jnp.int32(i + 1)))
+    li.block_until_ready()
+
+    t0 = time.time()
+    total_rays = 0
+    for i in range(ITERS):
+        li, rays = step(dev, iteration_key(0, jnp.int32(100 + i)))
+        total_rays += int(rays)
+    li.block_until_ready()
+    dt = time.time() - t0
+
+    mrays = total_rays / dt / 1e6
+    spp_s = ITERS / dt
+    print(f"# cornell_box PT {SIZE}x{SIZE} depth={MAX_DEPTH}: "
+          f"{spp_s:.3f} spp/s, {total_rays / ITERS / 1e6:.1f} Mrays/iter",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"Mrays/s traverse+shade (cornell_box PT {SIZE}x{SIZE} "
+                  f"depth {MAX_DEPTH}, v5e)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

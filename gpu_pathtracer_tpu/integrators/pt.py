@@ -23,8 +23,12 @@ from gpu_pathtracer_tpu.shade import bsdf as bsdf_mod
 from gpu_pathtracer_tpu.shade import lights as lights_mod
 
 
-def render_lanes(scene, static, key, pixel_x, pixel_y):
-    """Returns per-lane radiance [N, 3] for one path-traced sample."""
+def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
+    """Returns per-lane radiance [N, 3] for one path-traced sample.
+
+    with_stats=True additionally returns the number of rays traced
+    (closest-hit + any-hit across all bounces) for throughput metrics.
+    """
     n = pixel_x.shape[0]
     rng0 = RngStream(key)
     ro, rd = primary_rays(scene, static, rng0, pixel_x, pixel_y)
@@ -38,6 +42,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
     def bounce(carry, bounce_idx):
         ro, rd, li, beta, specular, alive = carry
         rng = RngStream(jax.random.fold_in(key, 1000 + bounce_idx))
+        n_alive_in = jnp.sum(alive.astype(jnp.int32))
 
         hit = traverse.intersect_closest(
             scene, static, ro, rd, eps,
@@ -93,13 +98,20 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
         beta = jnp.where((do_rr & alive)[:, None], beta * rr_scale[:, None],
                          beta)
 
-        return (ro, rd, li, beta, specular, alive), None
+        # rays this bounce: 1 closest + (NEE shadow + MIS closest) on
+        # non-delta lanes (pathtracer.cu: Intersect x2 + IntersectP)
+        nee_lanes = jnp.sum((alive & not_delta).astype(jnp.int32))
+        rays = n_alive_in + 2 * nee_lanes
+        return (ro, rd, li, beta, specular, alive), rays
 
     carry = (ro, rd, li, beta, specular, alive)
-    (ro, rd, li, beta, specular, alive), _ = jax.lax.scan(
+    (ro, rd, li, beta, specular, alive), rays_per_bounce = jax.lax.scan(
         bounce, carry, jnp.arange(static.max_depth))
 
     # NaN/Inf guard (pathtracer.cu:1019-1020); unlike the reference (which
     # keeps the previous frame's value) we zero poisoned lanes.
     bad = jnp.any(~jnp.isfinite(li), axis=-1)
-    return jnp.where(bad[:, None], 0.0, li)
+    li = jnp.where(bad[:, None], 0.0, li)
+    if with_stats:
+        return li, jnp.sum(rays_per_bounce)
+    return li
