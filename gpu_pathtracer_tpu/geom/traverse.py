@@ -222,28 +222,44 @@ def _traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool):
 def intersect_any(scene, static, ro, rd, tmin, tmax):
     """Any-hit (shadow) query — reference IntersectP (pathtracer.cu:257-296).
     Returns a bool mask [N]."""
+    from gpu_pathtracer_tpu.geom import dense
+    if static.n_primitives <= dense.DENSE_MAX:
+        return dense.dense_any(scene, static, ro, rd, tmin, tmax)
     _, _, found = _traverse(scene, static, ro, rd, tmin, tmax, any_hit=True)
     return found
 
 
 def intersect_closest(scene, static, ro, rd, tmin, tmax) -> Hit:
-    """Closest-hit query — reference Intersect (pathtracer.cu:214-255)."""
-    best_t, best_prim, found = _traverse(
-        scene, static, ro, rd, tmin, tmax, any_hit=False)
+    """Closest-hit query — reference Intersect (pathtracer.cu:214-255).
+
+    Small scenes take the gather-free dense path (geom/dense.py); larger
+    scenes run the BVH walk.
+    """
+    from gpu_pathtracer_tpu.geom import dense
+    if static.n_primitives <= dense.DENSE_MAX:
+        best_t, best_prim, found = dense.dense_closest(
+            scene, static, ro, rd, tmin, tmax)
+    else:
+        best_t, best_prim, found = _traverse(
+            scene, static, ro, rd, tmin, tmax, any_hit=False)
     return _hit_attributes(scene, static, ro, rd, best_t, best_prim, found)
 
 
 def _hit_attributes(scene, static, ro, rd, t, prim, found) -> Hit:
     """Reconstruct the full intersection record from (t, prim).
 
-    One batched gather after traversal instead of carrying attributes
-    through the loop (see module docstring).
+    ONE packed-table fetch (MXU one-hot for small scenes) after traversal
+    instead of carrying attributes through the loop or issuing 16 separate
+    gathers — XLA gathers run ~2 GB/s on TPU, the packed fetch doesn't.
     """
+    from gpu_pathtracer_tpu.ops.gather import f2i, take_rows
+
     p = jnp.where(found, prim, 0)
-    ptype = jnp.take(scene.prim_type, p, axis=0)
-    v0 = jnp.take(scene.v0, p, axis=0)
-    v1 = jnp.take(scene.v1, p, axis=0)
-    v2 = jnp.take(scene.v2, p, axis=0)
+    attrs = take_rows(scene.prim_attrs, p)
+    ptype = f2i(attrs[:, 29])
+    v0 = attrs[:, 0:3]
+    v1 = attrs[:, 3:6]
+    v2 = attrs[:, 6:9]
     pos = ro + rd * t[:, None]
 
     nor = jnp.zeros_like(pos)
@@ -261,16 +277,16 @@ def _hit_attributes(scene, static, ro, rd, t, prim, found) -> Hit:
         b1 = dot(s, s1) * inv_div
         s2 = cross(s, e1)
         b2 = dot(rd, s2) * inv_div
-        n0 = jnp.take(scene.n0, p, axis=0)
-        n1 = jnp.take(scene.n1, p, axis=0)
-        n2 = jnp.take(scene.n2, p, axis=0)
-        uv0 = jnp.take(scene.uv0, p, axis=0)
-        uv1 = jnp.take(scene.uv1, p, axis=0)
-        uv2 = jnp.take(scene.uv2, p, axis=0)
+        n0 = attrs[:, 9:12]
+        n1 = attrs[:, 12:15]
+        n2 = attrs[:, 15:18]
+        uv0 = attrs[:, 18:20]
+        uv1 = attrs[:, 20:22]
+        uv2 = attrs[:, 22:24]
         w0 = (1.0 - b1 - b2)[:, None]
         tri_nor = normalize(n0 * w0 + n1 * b1[:, None] + n2 * b2[:, None])
         tri_uv = uv0 * w0 + uv1 * b1[:, None] + uv2 * b2[:, None]
-        dpdv = jnp.take(scene.dpdv_unit, p, axis=0)
+        dpdv = attrs[:, 24:27]
         tri_dpdu = normalize(cross(tri_nor, dpdv))
         is_tri = (ptype == int(GeometryType.TRIANGLE))[:, None]
         nor = jnp.where(is_tri, tri_nor, nor)
@@ -299,8 +315,8 @@ def _hit_attributes(scene, static, ro, rd, t, prim, found) -> Hit:
 
     if static.has_lines:
         # line.h:74-84: camera-facing normal, uv = (s, dist/r)
-        r0 = jnp.take(scene.radius0, p, axis=0)
-        r1 = jnp.take(scene.radius1, p, axis=0)
+        r0 = attrs[:, 27]
+        r1 = attrs[:, 28]
         _, _, s_param = _line_intersect(
             ro, rd, v0, v1, r0, r1, jnp.float32(0.0),
             jnp.full_like(t, jnp.inf))
@@ -326,15 +342,11 @@ def _hit_attributes(scene, static, ro, rd, t, prim, found) -> Hit:
         nor=nor,
         uv=uv,
         dpdu=dpdu,
-        mat_idx=jnp.where(found, jnp.take(scene.mat_idx, p, axis=0), neg1),
-        light_idx=jnp.where(
-            found, jnp.take(scene.light_idx, p, axis=0), neg1),
-        bssrdf_idx=jnp.where(
-            found, jnp.take(scene.bssrdf_idx, p, axis=0), neg1),
-        medium_inside=jnp.where(
-            found, jnp.take(scene.medium_inside, p, axis=0), neg1),
-        medium_outside=jnp.where(
-            found, jnp.take(scene.medium_outside, p, axis=0), neg1),
+        mat_idx=jnp.where(found, f2i(attrs[:, 30]), neg1),
+        light_idx=jnp.where(found, f2i(attrs[:, 31]), neg1),
+        bssrdf_idx=jnp.where(found, f2i(attrs[:, 32]), neg1),
+        medium_inside=jnp.where(found, f2i(attrs[:, 33]), neg1),
+        medium_outside=jnp.where(found, f2i(attrs[:, 34]), neg1),
         prim_idx=jnp.where(found, p, neg1),
     )
 

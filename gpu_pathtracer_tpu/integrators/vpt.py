@@ -1,0 +1,286 @@
+"""Volumetric path tracer (reference Volpath kernel, pathtracer.cu:1025-1242).
+
+PT plus participating media:
+- distance sampling in the lane's current medium each segment;
+- medium interactions do phase-function NEE (shadow rays attenuated by the
+  interface-walking transmittance) and phase sampling;
+- material-less hits (matIdx == -1) are medium interfaces: the ray passes
+  through, switching media by crossing side, WITHOUT consuming a bounce
+  (the reference decrements the loop counter, pathtracer.cu:1117-1124; we
+  carry an explicit per-lane depth and give the scan a bounded
+  interface-crossing budget);
+- surface NEE/BSDF branches attenuate by transmittance instead of a binary
+  shadow test, and the next-bounce medium follows the crossing side
+  (pathtracer.cu:1224-1226);
+- the camera may start inside a medium (pathtracer.cu:1043).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpu_pathtracer_tpu.core.rng import RngStream
+from gpu_pathtracer_tpu.core.sampling import power_heuristic
+from gpu_pathtracer_tpu.core.vecmath import dot, is_black, luminance
+from gpu_pathtracer_tpu.geom import traverse
+from gpu_pathtracer_tpu.integrators.common import primary_rays
+from gpu_pathtracer_tpu.shade import bsdf as bsdf_mod
+from gpu_pathtracer_tpu.shade import lights as lights_mod
+from gpu_pathtracer_tpu.shade import media as media_mod
+
+INTERFACE_BUDGET = 8  # extra scan iterations for interface crossings
+
+
+def _sample_light_toward(scene, static, rng, pos):
+    """Shared light pick + sample (area or infinite) toward `pos`.
+    Returns (radiance, dir, tmax, light_pdf, choice_pdf)."""
+    n = pos.shape[0]
+    eps = scene.epsilon
+    u_pick = rng.uniform((n,))
+    idx, choice_pdf = lights_mod.pick_light(scene, u_pick)
+    is_inf = idx == static.n_lights
+    u1, u2 = rng.uniform2((n,))
+
+    if static.n_lights > 0:
+        rad_a, _, sd_a, st_a, _, pdf_a = lights_mod.sample_area_light(
+            scene, idx, pos, u1, u2, eps)
+    else:
+        rad_a = jnp.zeros((n, 3))
+        sd_a = pos
+        st_a = jnp.zeros(n)
+        pdf_a = jnp.zeros(n)
+    if static.has_infinite:
+        rad_i, _, sd_i, st_i, _, pdf_i = lights_mod.sample_infinite_light(
+            scene, pos, u1, u2, eps)
+        rad = jnp.where(is_inf[:, None], rad_i, rad_a)
+        sd = jnp.where(is_inf[:, None], sd_i, sd_a)
+        st = jnp.where(is_inf, st_i, st_a)
+        light_pdf = jnp.where(is_inf, pdf_i, pdf_a)
+    else:
+        rad, sd, st, light_pdf = rad_a, sd_a, st_a, pdf_a
+    return rad, sd, st, light_pdf, choice_pdf
+
+
+def _direct_light_vol(scene, static, rng, key, pos, nor, dpdu, mat, wi,
+                      med_idx, active):
+    """Surface NEE with MIS, shadow rays attenuated by transmittance
+    (pathtracer.cu:1128-1210)."""
+    n = pos.shape[0]
+    eps = scene.epsilon
+    ld = jnp.zeros((n, 3), jnp.float32)
+
+    rad, sd, st, light_pdf, choice_pdf = _sample_light_toward(
+        scene, static, rng, pos)
+    cand = active & ~is_black(rad) & (light_pdf > 0.0)
+    fr, sample_pdf = bsdf_mod.eval_bsdf(
+        mat, wi, sd, nor, dpdu, static.material_types)
+    tr = media_mod.transmittance(
+        scene, static, med_idx, pos, sd,
+        jnp.where(cand, st, 0.0), jax.random.fold_in(key, 101), cand)
+    weight = power_heuristic(1, light_pdf * choice_pdf, 1, sample_pdf)
+    denom = jnp.maximum(light_pdf * choice_pdf, 1e-30)
+    contrib = weight[:, None] * tr * fr * rad * \
+        jnp.abs(dot(nor, sd))[:, None] / denom[:, None]
+    ld += jnp.where(cand[:, None], contrib, 0.0)
+
+    # BSDF-sample branch with Tr through media (pathtracer.cu:1157-1208)
+    u1, u2, u3 = rng.uniform3((n,))
+    wo, fr_s, pdf_s = bsdf_mod.sample_bsdf(
+        mat, wi, nor, dpdu, u1, u2, u3, static.material_types)
+    cand_b = active & ~(is_black(fr_s) | (pdf_s == 0.0))
+    hit = traverse.intersect_closest(
+        scene, static, pos, wo, eps, jnp.where(cand_b, jnp.inf, eps))
+
+    if static.n_lights > 0:
+        hit_light = cand_b & hit.valid & (hit.light_idx >= 0)
+        le = lights_mod.area_light_le(scene, hit.light_idx, hit.nor, -wo)
+        pdf_area, _ = lights_mod.area_light_pdf(
+            scene, hit.light_idx, wo, hit.nor)
+        lchoice = lights_mod.light_choice_pdf(scene, hit.light_idx)
+        len2 = dot(hit.pos - pos, hit.pos - pos)
+        cos_l = jnp.abs(dot(hit.nor, wo))
+        l_pdf = pdf_area * len2 / jnp.maximum(cos_l, 1e-30)
+        w_b = power_heuristic(1, pdf_s, 1, l_pdf * lchoice)
+        hit_light &= ~is_black(le)
+        # NOTE: the reference attenuates this branch only by the CURRENT
+        # medium segment Tr (no interface walk, pathtracer.cu:1178-1184)
+        tr_b = media_mod.medium_tr_segment(
+            scene, static, med_idx, pos, wo,
+            jnp.where(hit_light, hit.t, 0.0),
+            jax.random.fold_in(key, 102), hit_light) \
+            if static.has_media else jnp.ones((n, 3))
+        contrib_b = w_b[:, None] * tr_b * fr_s * le * \
+            jnp.abs(dot(wo, nor))[:, None] \
+            / jnp.maximum(pdf_s, 1e-30)[:, None]
+        ld += jnp.where(hit_light[:, None], contrib_b, 0.0)
+
+    if static.has_infinite:
+        miss = cand_b & ~hit.valid
+        le_inf = lights_mod.infinite_le(scene, wo)
+        choice_inf = lights_mod.light_choice_pdf(
+            scene, jnp.full_like(hit.light_idx, static.n_lights))
+        _, pdf_w_inf = lights_mod.infinite_pdf(scene)
+        w_i = power_heuristic(1, pdf_s, 1, pdf_w_inf * choice_inf)
+        tr_i = media_mod.medium_tr_segment(
+            scene, static, med_idx, pos, wo,
+            jnp.where(miss, 2.0 * scene.world_radius, 0.0),
+            jax.random.fold_in(key, 103), miss) \
+            if static.has_media else jnp.ones((n, 3))
+        contrib_i = w_i[:, None] * tr_i * fr_s * le_inf * \
+            jnp.abs(dot(wo, nor))[:, None] \
+            / jnp.maximum(pdf_s, 1e-30)[:, None]
+        ld += jnp.where(miss[:, None], contrib_i, 0.0)
+
+    return ld
+
+
+def render_lanes(scene, static, key, pixel_x, pixel_y):
+    """Returns per-lane radiance [N, 3] for one volumetric-PT sample."""
+    n = pixel_x.shape[0]
+    rng0 = RngStream(key)
+    ro, rd = primary_rays(scene, static, rng0, pixel_x, pixel_y)
+    eps = scene.epsilon
+
+    li = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    specular = jnp.zeros(n, bool)
+    alive = jnp.ones(n, bool)
+    depth = jnp.zeros(n, jnp.int32)
+    med = jnp.full(n, static.camera_medium, jnp.int32)  # pathtracer.cu:1043
+
+    n_iters = static.max_depth + INTERFACE_BUDGET
+
+    def step(carry, it):
+        ro, rd, li, beta, specular, alive, depth, med = carry
+        skey = jax.random.fold_in(key, 10_000 + it)
+        rng = RngStream(jax.random.fold_in(skey, 0))
+
+        hit = traverse.intersect_closest(
+            scene, static, ro, rd, eps, jnp.where(alive, jnp.inf, eps))
+
+        # miss -> env on primary/specular (pathtracer.cu:1051-1055)
+        miss = alive & ~hit.valid
+        if static.has_infinite:
+            env = lights_mod.infinite_le(scene, rd)
+            take_env = miss & ((depth == 0) | specular)
+            li += jnp.where(take_env[:, None], beta * env, 0.0)
+        alive &= hit.valid
+
+        # medium distance sampling over [0, hit.t] (pathtracer.cu:1062-1070)
+        if static.has_media:
+            weight, t_med, sampled = media_mod.medium_sample(
+                scene, static, med, ro, rd, hit.t,
+                jax.random.fold_in(skey, 1), alive)
+            beta = jnp.where(alive[:, None], beta * weight, beta)
+            alive &= ~is_black(beta)
+        else:
+            sampled = jnp.zeros(n, bool)
+            t_med = hit.t
+
+        # ---------- medium interaction (pathtracer.cu:1071-1101) --------
+        in_scatter = alive & sampled
+        sample_pos = ro + rd * t_med[:, None]
+        if static.has_media:
+            rad, sd, st, light_pdf, choice_pdf = _sample_light_toward(
+                scene, static, rng, sample_pos)
+            cand = in_scatter & ~is_black(rad) & (light_pdf > 0.0)
+            tr = media_mod.transmittance(
+                scene, static, med, sample_pos, sd,
+                jnp.where(cand, st, 0.0),
+                jax.random.fold_in(skey, 2), cand)
+            ph = media_mod.phase(scene, med, -rd, sd)
+            denom = jnp.maximum(light_pdf * choice_pdf, 1e-30)
+            contrib = tr * beta * (ph / denom)[:, None] * rad
+            li += jnp.where(cand[:, None], contrib, 0.0)
+
+            u1, u2 = rng.uniform2((n,))
+            new_dir, _ = media_mod.sample_phase(scene, med, -rd, u1, u2)
+            ro = jnp.where(in_scatter[:, None], sample_pos, ro)
+            rd = jnp.where(in_scatter[:, None], new_dir, rd)
+            specular = jnp.where(in_scatter, False, specular)
+
+        # ---------- surface interaction ---------------------------------
+        on_surface = alive & ~sampled
+
+        # emitter hit on primary/specular (pathtracer.cu:1103-1115)
+        if static.n_lights > 0:
+            hit_light = on_surface & (hit.light_idx >= 0) & \
+                ((depth == 0) | specular)
+            le = lights_mod.area_light_le(scene, hit.light_idx, hit.nor,
+                                          -rd)
+            tr_e = media_mod.medium_tr_segment(
+                scene, static, med, ro, rd,
+                jnp.where(hit_light, hit.t, 0.0),
+                jax.random.fold_in(skey, 3), hit_light) \
+                if static.has_media else jnp.ones((n, 3))
+            li += jnp.where(hit_light[:, None], tr_e * beta * le, 0.0)
+            died = on_surface & (hit.light_idx >= 0) & \
+                ((depth == 0) | specular)
+            alive &= ~died
+            on_surface &= ~died
+
+        # medium interface: pass through, no bounce consumed
+        # (pathtracer.cu:1117-1124)
+        interface = on_surface & (hit.mat_idx == -1)
+        going_out = dot(rd, hit.nor) > 0.0
+        side_med = jnp.where(going_out, hit.medium_outside,
+                             hit.medium_inside)
+        med = jnp.where(interface, side_med, med)
+        ro = jnp.where(interface[:, None], hit.pos, ro)
+        on_surface &= ~interface
+
+        # real surface: NEE + BSDF sample (pathtracer.cu:1126-1228)
+        mat = bsdf_mod.gather_materials(scene, static, hit.mat_idx, hit.uv)
+        wi = -rd
+        not_delta = ~bsdf_mod.is_delta(mat.type)
+        ld = _direct_light_vol(
+            scene, static, rng, skey, hit.pos, hit.nor, hit.dpdu, mat, wi,
+            med, on_surface & not_delta)
+        li += beta * ld
+
+        u1, u2, u3 = rng.uniform3((n,))
+        wo, fr, pdf = bsdf_mod.sample_bsdf(
+            mat, wi, hit.nor, hit.dpdu, u1, u2, u3, static.material_types)
+        dead = on_surface & (is_black(fr) | (pdf <= 0.0))
+        alive &= ~dead
+        surf_go = on_surface & ~dead
+
+        beta_next = beta * fr * jnp.abs(dot(hit.nor, wo))[:, None] \
+            / jnp.maximum(pdf, 1e-30)[:, None]
+        beta = jnp.where(surf_go[:, None], beta_next, beta)
+        specular = jnp.where(surf_go, bsdf_mod.is_delta(mat.type), specular)
+
+        # next-bounce medium by crossing side; reflections keep the
+        # current medium (pathtracer.cu:1224-1226)
+        out_side = jnp.where(dot(wo, hit.nor) > 0.0, hit.medium_outside,
+                             hit.medium_inside)
+        same_side = dot(wi, hit.nor) * dot(wo, hit.nor) > 0.0
+        med = jnp.where(surf_go, jnp.where(same_side, med, out_side), med)
+        ro = jnp.where(surf_go[:, None], hit.pos, ro)
+        rd = jnp.where(surf_go[:, None], wo, rd)
+
+        # depth: medium scatters + real surfaces consume a bounce;
+        # interfaces don't (pathtracer.cu:1118)
+        consumed = in_scatter | surf_go
+        depth = jnp.where(consumed, depth + 1, depth)
+        alive &= depth < static.max_depth
+
+        # Russian roulette (pathtracer.cu:1231-1237); skipped on
+        # interface passes (reference `continue`)
+        u_rr = rng.uniform((n,))
+        illumate = jnp.clip(1.0 - luminance(beta), 0.0, 1.0)
+        do_rr = (depth > 4) & alive & consumed
+        alive &= ~(do_rr & (u_rr < illumate))
+        rr_scale = 1.0 / jnp.maximum(1.0 - illumate, 1e-30)
+        beta = jnp.where((do_rr & alive)[:, None],
+                         beta * rr_scale[:, None], beta)
+
+        return (ro, rd, li, beta, specular, alive, depth, med), None
+
+    carry = (ro, rd, li, beta, specular, alive, depth, med)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_iters))
+    li = carry[2]
+
+    bad = jnp.any(~jnp.isfinite(li), axis=-1)
+    return jnp.where(bad[:, None], 0.0, li)

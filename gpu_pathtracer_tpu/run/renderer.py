@@ -73,24 +73,29 @@ class Renderer:
         program = lane_program(self.static.integrator)
         static = self.static
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(dscene, acc, key):
-            out = []
-            for t in range(self.n_tiles):
-                tile_key = jax.random.fold_in(key, t)
-                li = program(dscene, static, tile_key,
-                             self._px[t], self._py[t])
-                out.append(jnp.where(self._mask[t][:, None], li, 0.0))
-            img = jnp.concatenate(out, axis=0)[:n]
-            return acc + img
+        # one jitted program per TILE (compiled once, reused for every
+        # tile and iteration) — compiling all tiles into a single graph
+        # multiplies compile time by n_tiles for zero runtime gain
+        @jax.jit
+        def tile_step(dscene, key, px, py):
+            return program(dscene, static, key, px, py)
 
-        self._step = step
+        self._tile_step = tile_step
 
     def render_iteration(self) -> None:
         """Add one sample per pixel to the accumulation film."""
         self.iteration += 1
+        n = self.width * self.height
         key = iteration_key(self.seed, jnp.int32(self.iteration))
-        self.acc = self._step(self.device_scene, self.acc, key)
+        tiles = []
+        for t in range(self.n_tiles):
+            tile_key = jax.random.fold_in(key, t)
+            li = self._tile_step(self.device_scene, tile_key,
+                                 self._px[t], self._py[t])
+            tiles.append(jnp.where(self._mask[t][:, None], li, 0.0))
+        img = jnp.concatenate(tiles, axis=0)[:n] if len(tiles) > 1 \
+            else tiles[0][:n]
+        self.acc = self.acc + img
 
     def render(self, spp: int) -> np.ndarray:
         for _ in range(spp):

@@ -130,6 +130,16 @@ class DeviceScene:
     b_eta: jnp.ndarray           # [B]
     b_g: jnp.ndarray             # [B]
 
+    # packed attribute tables for MXU one-hot gathers (ops/gather.py):
+    # prim_attrs [P, 40]: v0 v1 v2 | n0 n1 n2 | uv0 uv1 uv2 | dpdv |
+    #   radius0 radius1 | type mat light bssrdf med_in med_out | pad
+    prim_attrs: jnp.ndarray
+    # mat_attrs [M, 24]: type aU aV iIOR oIOR | k | eta | diffuse |
+    #   specular | tex_idx | pad
+    mat_attrs: jnp.ndarray
+    # light_attrs [L, 24]: v0 v1 v2 | n0 n1 n2 | radiance | medium | pad
+    light_attrs: jnp.ndarray
+
     camera: DeviceCamera
     epsilon: jnp.ndarray         # scalar ray offset (pathtracer.cu:38)
 
@@ -152,6 +162,7 @@ class StaticConfig:
     has_lines: bool
     has_textures: bool
     has_media: bool
+    has_hetero: bool
     filmic: bool
     environment_camera: bool
     camera_medium: int
@@ -439,6 +450,49 @@ def flatten_scene(scene: HostScene, cache: bool = True
         focal=jnp.float32(cam.focalDistance),
     )
 
+    # packed attribute tables (see DeviceScene docstring for layout)
+    prim_attrs = np.zeros((P, 40), np.float32)
+    prim_attrs[:, 0:3] = v0
+    prim_attrs[:, 3:6] = v1
+    prim_attrs[:, 6:9] = v2
+    prim_attrs[:, 9:12] = n0
+    prim_attrs[:, 12:15] = n1
+    prim_attrs[:, 15:18] = n2
+    prim_attrs[:, 18:20] = uv0
+    prim_attrs[:, 20:22] = uv1
+    prim_attrs[:, 22:24] = uv2
+    prim_attrs[:, 24:27] = dpdv
+    prim_attrs[:, 27] = radius0
+    prim_attrs[:, 28] = radius1
+    prim_attrs[:, 29] = prim_type
+    prim_attrs[:, 30] = mat_idx
+    prim_attrs[:, 31] = light_idx
+    prim_attrs[:, 32] = bssrdf_idx
+    prim_attrs[:, 33] = medium_inside
+    prim_attrs[:, 34] = medium_outside
+
+    mat_attrs = np.zeros((M, 24), np.float32)
+    mat_attrs[:, 0] = m_type
+    mat_attrs[:, 1] = m_alpha_u
+    mat_attrs[:, 2] = m_alpha_v
+    mat_attrs[:, 3] = m_inside
+    mat_attrs[:, 4] = m_outside
+    mat_attrs[:, 5:8] = m_k
+    mat_attrs[:, 8:11] = m_eta
+    mat_attrs[:, 11:14] = m_diffuse
+    mat_attrs[:, 14:17] = m_specular
+    mat_attrs[:, 17] = m_tex
+
+    light_attrs = np.zeros((L, 24), np.float32)
+    light_attrs[:, 0:3] = l_v0
+    light_attrs[:, 3:6] = l_v1
+    light_attrs[:, 6:9] = l_v2
+    light_attrs[:, 9:12] = l_n0
+    light_attrs[:, 12:15] = l_n1
+    light_attrs[:, 15:18] = l_n2
+    light_attrs[:, 18:21] = l_rad
+    light_attrs[:, 21] = l_med
+
     dev = DeviceScene(
         node_bbox_min=jnp.asarray(bvh.bbox_min),
         node_bbox_max=jnp.asarray(bvh.bbox_max),
@@ -484,6 +538,9 @@ def flatten_scene(scene: HostScene, cache: bool = True
         med_eval_tr_type=jnp.asarray(med_ett),
         b_sigma_a=jnp.asarray(b_sa), b_sigma_sp=jnp.asarray(b_sp),
         b_eta=jnp.asarray(b_eta), b_g=jnp.asarray(b_g),
+        prim_attrs=jnp.asarray(prim_attrs),
+        mat_attrs=jnp.asarray(mat_attrs),
+        light_attrs=jnp.asarray(light_attrs),
         camera=device_camera,
         epsilon=jnp.float32(scene.epsilon),
     )
@@ -504,6 +561,8 @@ def flatten_scene(scene: HostScene, cache: bool = True
         has_lines=bool((prim_type == int(GeometryType.LINE)).any()),
         has_textures=bool(scene.textures),
         has_media=bool(scene.mediums),
+        has_hetero=any(m.type == MediumType.HETEROGENEOUS
+                       for m in scene.mediums),
         filmic=scene.camera.filmic,
         environment_camera=scene.camera.environment,
         camera_medium=scene.camera.medium,

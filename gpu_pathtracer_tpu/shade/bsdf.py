@@ -48,19 +48,28 @@ class MatParams:
 
 
 def gather_materials(scene, static, mat_idx, uv) -> MatParams:
-    """Gather material records + resolve the diffuse texel once per lane."""
+    """Gather material records + resolve the diffuse texel once per lane.
+
+    One packed-table fetch (ops/gather.py layout: mat_attrs [M, 24]).
+    """
+    from gpu_pathtracer_tpu.ops.gather import f2i, take_rows
     from gpu_pathtracer_tpu.shade.texture import get_texel
+
     m = jnp.maximum(mat_idx, 0)
+    a = take_rows(scene.mat_attrs, m)
+    diffuse = a[:, 11:14]
+    if static.has_textures:
+        diffuse = get_texel(scene, m, uv, True)
     return MatParams(
-        type=jnp.take(scene.m_type, m, axis=0),
-        alpha_u=jnp.take(scene.m_alpha_u, m, axis=0),
-        alpha_v=jnp.take(scene.m_alpha_v, m, axis=0),
-        inside_ior=jnp.take(scene.m_inside_ior, m, axis=0),
-        outside_ior=jnp.take(scene.m_outside_ior, m, axis=0),
-        k=jnp.take(scene.m_k, m, axis=0),
-        eta=jnp.take(scene.m_eta, m, axis=0),
-        specular=jnp.take(scene.m_specular, m, axis=0),
-        diffuse=get_texel(scene, m, uv, static.has_textures),
+        type=f2i(a[:, 0]),
+        alpha_u=a[:, 1],
+        alpha_v=a[:, 2],
+        inside_ior=a[:, 3],
+        outside_ior=a[:, 4],
+        k=a[:, 5:8],
+        eta=a[:, 8:11],
+        specular=a[:, 14:17],
+        diffuse=diffuse,
     )
 
 

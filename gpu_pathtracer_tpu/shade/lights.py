@@ -28,24 +28,26 @@ def pick_light(scene, u):
     cdf = scene.light_cdf
     idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1,
                    0, cdf.shape[0] - 2).astype(jnp.int32)
-    pdf = jnp.take(cdf, idx + 1) - jnp.take(cdf, idx)
-    return idx, pdf
+    return idx, light_choice_pdf(scene, idx)
 
 
 def light_choice_pdf(scene, idx):
     """PdfFromLightDistribution (pathtracer.cu:183-185)."""
-    return jnp.take(scene.light_cdf, idx + 1) - jnp.take(scene.light_cdf, idx)
+    from gpu_pathtracer_tpu.ops.gather import take_rows
+    cdf = scene.light_cdf
+    # one MXU fetch of (cdf[i], cdf[i+1]) instead of two XLA gathers
+    pair = jnp.stack([cdf[:-1], cdf[1:]], axis=-1)
+    r = take_rows(pair, jnp.clip(idx, 0, cdf.shape[0] - 2))
+    return r[:, 1] - r[:, 0]
 
 
 def _gather_light_tri(scene, idx):
+    """One packed fetch from light_attrs [L, 24] (ops/gather.py layout)."""
+    from gpu_pathtracer_tpu.ops.gather import take_rows
     i = jnp.maximum(idx, 0)
-    return (jnp.take(scene.l_v0, i, axis=0),
-            jnp.take(scene.l_v1, i, axis=0),
-            jnp.take(scene.l_v2, i, axis=0),
-            jnp.take(scene.l_n0, i, axis=0),
-            jnp.take(scene.l_n1, i, axis=0),
-            jnp.take(scene.l_n2, i, axis=0),
-            jnp.take(scene.l_radiance, i, axis=0))
+    a = take_rows(scene.light_attrs, i)
+    return (a[:, 0:3], a[:, 3:6], a[:, 6:9],
+            a[:, 9:12], a[:, 12:15], a[:, 15:18], a[:, 18:21])
 
 
 def _tri_area(v0, v1, v2):
@@ -106,7 +108,8 @@ def area_light_pdf(scene, idx, ray_d, nor):
 
 def area_light_le(scene, idx, nor, dir_out):
     """Area::Le (area.h:38-41): one-sided emission."""
-    rad = jnp.take(scene.l_radiance, jnp.maximum(idx, 0), axis=0)
+    from gpu_pathtracer_tpu.ops.gather import take_rows
+    rad = take_rows(scene.light_attrs, jnp.maximum(idx, 0))[:, 18:21]
     return jnp.where((dot(nor, dir_out) > 0.0)[..., None], rad, 0.0)
 
 
