@@ -222,10 +222,11 @@ def _traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool):
 def intersect_any(scene, static, ro, rd, tmin, tmax):
     """Any-hit (shadow) query — reference IntersectP (pathtracer.cu:257-296).
     Returns a bool mask [N]."""
-    from gpu_pathtracer_tpu.geom import dense
+    from gpu_pathtracer_tpu.geom import dense, packet
     if static.n_primitives <= dense.DENSE_MAX:
         return dense.dense_any(scene, static, ro, rd, tmin, tmax)
-    _, _, found = _traverse(scene, static, ro, rd, tmin, tmax, any_hit=True)
+    _, _, found = packet.packet_traverse(
+        scene, static, ro, rd, tmin, tmax, any_hit=True)
     return found
 
 
@@ -235,12 +236,12 @@ def intersect_closest(scene, static, ro, rd, tmin, tmax) -> Hit:
     Small scenes take the gather-free dense path (geom/dense.py); larger
     scenes run the BVH walk.
     """
-    from gpu_pathtracer_tpu.geom import dense
+    from gpu_pathtracer_tpu.geom import dense, packet
     if static.n_primitives <= dense.DENSE_MAX:
         best_t, best_prim, found = dense.dense_closest(
             scene, static, ro, rd, tmin, tmax)
     else:
-        best_t, best_prim, found = _traverse(
+        best_t, best_prim, found = packet.packet_traverse(
             scene, static, ro, rd, tmin, tmax, any_hit=False)
     return _hit_attributes(scene, static, ro, rd, best_t, best_prim, found)
 

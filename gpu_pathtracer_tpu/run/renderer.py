@@ -25,15 +25,24 @@ DEFAULT_TILE = 1 << 16
 
 
 def lane_program(integrator: IntegratorType):
-    """Integrator dispatch (pathtracer.cu:2711-2745)."""
+    """Integrator dispatch (pathtracer.cu:2711-2745).
+
+    Returns (kind, fn): kind "pixel" maps lanes to pixels
+    (fn(scene, static, key, px, py) -> [N, 3]); kind "film" traces
+    lane-many paths and returns a whole splatted film
+    (fn(scene, static, key, n_paths) -> [W*H, 3]).
+    """
     from gpu_pathtracer_tpu.integrators import ao, pt
     if integrator == IntegratorType.AO:
-        return ao.render_lanes
-    if integrator in (IntegratorType.PT,):
-        return pt.render_lanes
+        return "pixel", ao.render_lanes
+    if integrator == IntegratorType.PT:
+        return "pixel", pt.render_lanes
     if integrator == IntegratorType.VPT:
         from gpu_pathtracer_tpu.integrators import vpt
-        return vpt.render_lanes
+        return "pixel", vpt.render_lanes
+    if integrator == IntegratorType.LT:
+        from gpu_pathtracer_tpu.integrators import lt
+        return "film", lt.render_film
     raise NotImplementedError(f"integrator {integrator!r} not yet built")
 
 
@@ -70,15 +79,20 @@ class Renderer:
         self.acc = jnp.zeros((n, 3), jnp.float32)
         self.iteration = 0
 
-        program = lane_program(self.static.integrator)
+        self.kind, program = lane_program(self.static.integrator)
         static = self.static
 
         # one jitted program per TILE (compiled once, reused for every
         # tile and iteration) — compiling all tiles into a single graph
         # multiplies compile time by n_tiles for zero runtime gain
-        @jax.jit
-        def tile_step(dscene, key, px, py):
-            return program(dscene, static, key, px, py)
+        if self.kind == "pixel":
+            @jax.jit
+            def tile_step(dscene, key, px, py):
+                return program(dscene, static, key, px, py)
+        else:
+            @jax.jit
+            def tile_step(dscene, key):
+                return program(dscene, static, key, self.tile_size)
 
         self._tile_step = tile_step
 
@@ -87,14 +101,24 @@ class Renderer:
         self.iteration += 1
         n = self.width * self.height
         key = iteration_key(self.seed, jnp.int32(self.iteration))
-        tiles = []
-        for t in range(self.n_tiles):
-            tile_key = jax.random.fold_in(key, t)
-            li = self._tile_step(self.device_scene, tile_key,
-                                 self._px[t], self._py[t])
-            tiles.append(jnp.where(self._mask[t][:, None], li, 0.0))
-        img = jnp.concatenate(tiles, axis=0)[:n] if len(tiles) > 1 \
-            else tiles[0][:n]
+        if self.kind == "pixel":
+            tiles = []
+            for t in range(self.n_tiles):
+                tile_key = jax.random.fold_in(key, t)
+                li = self._tile_step(self.device_scene, tile_key,
+                                     self._px[t], self._py[t])
+                tiles.append(jnp.where(self._mask[t][:, None], li, 0.0))
+            img = jnp.concatenate(tiles, axis=0)[:n] if len(tiles) > 1 \
+                else tiles[0][:n]
+        else:
+            # film-splat integrators (LT/BDPT): each tile traces
+            # tile_size paths and returns a full film; the reference uses
+            # exactly W*H paths per frame, so normalize by path count
+            img = jnp.zeros((n, 3), jnp.float32)
+            for t in range(self.n_tiles):
+                tile_key = jax.random.fold_in(key, t)
+                img = img + self._tile_step(self.device_scene, tile_key)
+            img = img * (n / (self.n_tiles * self.tile_size))
         self.acc = self.acc + img
 
     def render(self, spp: int) -> np.ndarray:

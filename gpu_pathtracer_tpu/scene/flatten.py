@@ -118,6 +118,9 @@ class DeviceScene:
     med_sigma_s: jnp.ndarray     # [K, 3]
     med_sigma_t: jnp.ndarray     # [K, 3]
     med_density: jnp.ndarray     # [K, Dz, Dy, Dx] f32 (padded)
+    # x-adjacent pairs (d[x], d[x+1]) so trilinear taps need 4 gathers
+    # instead of 8 (the tracking loops' inner cost)
+    med_density_pairs: jnp.ndarray  # [K, Dz, Dy, Dx, 2] f32
     med_n: jnp.ndarray           # [K, 3] i32 (nx, ny, nz)
     med_p0: jnp.ndarray          # [K, 3]
     med_p1: jnp.ndarray          # [K, 3]
@@ -129,6 +132,13 @@ class DeviceScene:
     b_sigma_sp: jnp.ndarray      # [B, 3]
     b_eta: jnp.ndarray           # [B]
     b_g: jnp.ndarray             # [B]
+
+    # packet-traversal tables (geom/packet.py):
+    # node_packed [Nn, 8]: bbox_min(3) bbox_max(3) second_child pad
+    node_packed: jnp.ndarray
+    # leaf_prims [Nn, LEAF_SIZE*16]: per slot v0(3) a(3) b(3) type r0 r1
+    #   prim_idx valid pad(3); a/b are e1/e2 for tris, p1/- for lines
+    leaf_prims: jnp.ndarray
 
     # packed attribute tables for MXU one-hot gathers (ops/gather.py):
     # prim_attrs [P, 40]: v0 v1 v2 | n0 n1 n2 | uv0 uv1 uv2 | dpdv |
@@ -450,6 +460,36 @@ def flatten_scene(scene: HostScene, cache: bool = True
         focal=jnp.float32(cam.focalDistance),
     )
 
+    # packet-traversal tables
+    Nn = bvh.n_nodes
+    node_packed = np.zeros((Nn, 8), np.float32)
+    node_packed[:, 0:3] = bvh.bbox_min
+    node_packed[:, 3:6] = bvh.bbox_max
+    node_packed[:, 6] = bvh.second_child
+
+    from gpu_pathtracer_tpu.geom.bvh import LEAF_SIZE
+    leaf_prims = np.zeros((Nn, LEAF_SIZE * 16), np.float32)
+    leaf_ids = np.where(bvh.is_leaf)[0]
+    starts = bvh.start[leaf_ids]
+    ends = bvh.end[leaf_ids]
+    is_tri_all = prim_type == int(GeometryType.TRIANGLE)
+    for slot in range(LEAF_SIZE):
+        pi = starts + slot
+        sel = pi <= ends
+        rows = leaf_ids[sel]
+        pis = pi[sel]
+        o = slot * 16
+        tri = is_tri_all[pis][:, None]
+        leaf_prims[rows, o + 0:o + 3] = v0[pis]
+        leaf_prims[rows, o + 3:o + 6] = np.where(
+            tri, v1[pis] - v0[pis], v1[pis])
+        leaf_prims[rows, o + 6:o + 9] = np.where(tri, v2[pis] - v0[pis], 0.0)
+        leaf_prims[rows, o + 9] = prim_type[pis]
+        leaf_prims[rows, o + 10] = radius0[pis]
+        leaf_prims[rows, o + 11] = radius1[pis]
+        leaf_prims[rows, o + 12] = pis
+        leaf_prims[rows, o + 13] = 1.0
+
     # packed attribute tables (see DeviceScene docstring for layout)
     prim_attrs = np.zeros((P, 40), np.float32)
     prim_attrs[:, 0:3] = v0
@@ -532,12 +572,20 @@ def flatten_scene(scene: HostScene, cache: bool = True
         med_type=jnp.asarray(med_type), med_g=jnp.asarray(med_g),
         med_sigma_a=jnp.asarray(med_sa), med_sigma_s=jnp.asarray(med_ss),
         med_sigma_t=jnp.asarray(med_sa + med_ss),
-        med_density=jnp.asarray(med_density), med_n=jnp.asarray(med_n),
+        med_density=jnp.asarray(med_density),
+        med_density_pairs=jnp.asarray(np.stack(
+            [med_density,
+             np.concatenate([med_density[..., 1:],
+                             np.zeros_like(med_density[..., :1])], axis=-1)],
+            axis=-1)),
+        med_n=jnp.asarray(med_n),
         med_p0=jnp.asarray(med_p0), med_p1=jnp.asarray(med_p1),
         med_inv_max_density=jnp.asarray(med_imd),
         med_eval_tr_type=jnp.asarray(med_ett),
         b_sigma_a=jnp.asarray(b_sa), b_sigma_sp=jnp.asarray(b_sp),
         b_eta=jnp.asarray(b_eta), b_g=jnp.asarray(b_g),
+        node_packed=jnp.asarray(node_packed),
+        leaf_prims=jnp.asarray(leaf_prims),
         prim_attrs=jnp.asarray(prim_attrs),
         mat_attrs=jnp.asarray(mat_attrs),
         light_attrs=jnp.asarray(light_attrs),

@@ -111,3 +111,24 @@ def test_any_hit_respects_tmax(cornell_flat):
     short = jnp.where(closest.valid, closest.t * 0.9, 1e-4)
     blocked = traverse.intersect_any(scene, static, ro, rd, tmin, short)
     assert not np.asarray(blocked)[np.asarray(closest.valid)].any()
+
+
+def test_native_builder_matches_numpy_structure():
+    pytest.importorskip("ctypes")
+    from gpu_pathtracer_tpu.geom import bvh_native
+    bmin, bmax = random_boxes(2000, seed=7)
+    try:
+        nat = bvh_native.build_bvh_native(bmin, bmax)
+    except Exception as e:
+        pytest.skip(f"native builder unavailable: {e}")
+    ref = _build_bvh_numpy(bmin, bmax)
+    # both are valid BVHs; same algorithm -> same node count and leaf sizes
+    assert nat.n_nodes == ref.n_nodes
+    assert sorted(nat.prim_order.tolist()) == list(range(2000))
+    leaf = nat.is_leaf
+    assert (nat.end[leaf] - nat.start[leaf] + 1).max() <= LEAF_SIZE
+    inner = np.where(~leaf)[0]
+    for i in inner:
+        for c in (i + 1, nat.second_child[i]):
+            assert (nat.bbox_min[i] <= nat.bbox_min[c] + 1e-5).all()
+            assert (nat.bbox_max[i] >= nat.bbox_max[c] - 1e-5).all()

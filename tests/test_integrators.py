@@ -1,0 +1,66 @@
+"""Integrator tests: smoke renders + cross-estimator consistency.
+
+The reference ships no tests (SURVEY.md §4); its correctness evidence is
+golden images. Here: every integrator must produce finite, plausible
+radiance on cornell_box, and independent transport estimators (PT vs LT,
+forward vs adjoint) must agree on the same scene — the strongest practical
+oracle for light-transport code.
+"""
+
+import numpy as np
+import pytest
+
+from gpu_pathtracer_tpu.run.renderer import Renderer
+from gpu_pathtracer_tpu.scene.model import IntegratorType
+
+
+@pytest.fixture(scope="module")
+def cornell_small(cornell_scene):
+    cornell_scene.width = cornell_scene.height = 32
+    return cornell_scene
+
+
+def _render(scene, integrator, spp, seed=0):
+    r = Renderer(scene, integrator=integrator, tile_size=1024, seed=seed,
+                 cache=False)
+    r.render(spp)
+    return r.radiance()
+
+
+def test_ao_smoke(cornell_small):
+    rad = _render(cornell_small, IntegratorType.AO, 4)
+    assert np.isfinite(rad).all()
+    assert 0.0 < rad.mean() < 1.5
+    # AO of a box interior: most first hits have nearby occluders above
+    # them only rarely -> image mostly bright
+    assert rad.mean() > 0.3
+
+
+def test_pt_smoke(cornell_small):
+    rad = _render(cornell_small, IntegratorType.PT, 4)
+    assert np.isfinite(rad).all()
+    assert rad.mean() > 0.005
+    assert rad.max() <= 17.0 + 1e-4  # brightest possible = light radiance
+
+
+def test_vpt_smoke(cornell_small):
+    rad = _render(cornell_small, IntegratorType.VPT, 4)
+    assert np.isfinite(rad).all()
+    assert rad.mean() > 0.005
+
+
+def test_lt_matches_vpt(cornell_small):
+    """Light tracing (adjoint transport) must agree with volumetric path
+    tracing (forward transport) away from the emissive-pixel quirk."""
+    a = _render(cornell_small, IntegratorType.VPT, 32, seed=1)
+    b = _render(cornell_small, IntegratorType.LT, 32, seed=2)
+    a2 = a[:22]  # exclude rows containing the splatted light quirk
+    b2 = b[:22]
+    ratio = b2.mean() / a2.mean()
+    assert 0.85 < ratio < 1.18, ratio
+
+
+def test_deterministic_given_seed(cornell_small):
+    a = _render(cornell_small, IntegratorType.PT, 2, seed=7)
+    b = _render(cornell_small, IntegratorType.PT, 2, seed=7)
+    np.testing.assert_array_equal(a, b)
