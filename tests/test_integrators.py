@@ -16,8 +16,10 @@ from gpu_pathtracer_tpu.scene.model import IntegratorType
 
 @pytest.fixture(scope="module")
 def cornell_small(cornell_scene):
-    cornell_scene.width = cornell_scene.height = 32
-    return cornell_scene
+    import copy
+    scene = copy.copy(cornell_scene)  # don't mutate the session fixture
+    scene.width = scene.height = 32
+    return scene
 
 
 def _render(scene, integrator, spp, seed=0):
