@@ -1,0 +1,571 @@
+"""Bidirectional path tracing as a wavefront program.
+
+Re-expression of the reference BDPT (pathtracer.cu:1393-1970). Each lane
+owns one camera subpath and one light subpath stored as fixed-capacity SoA
+vertex arrays [N, K] in HBM (the CUDA version keeps 67-vertex arrays in
+local memory per thread, pathtracer.cu:1944-1945). Subpath generation is a
+`lax.scan` over bounces that scatters vertices at per-lane write indices;
+the s,t connection double-loop becomes a single `lax.fori_loop` over
+strategy pairs so one compiled body serves every (s,t) — all lanes process
+the same strategy in lockstep and lanes whose subpaths are shorter are
+masked. Film splats (the s==1 strategies) use deterministic scatter-adds
+instead of atomicAdd (pathtracer.cu:1958-1961).
+
+Semantics matched to the reference:
+- vertex forward/reverse area-pdfs via ConvertPdf (pathtracer.cu:1405-1414)
+- the four Connect cases t=0 / t=1 / s=1 / general with their temporary
+  pdf overrides (pathtracer.cu:1720-1923)
+- iterative MIS weight with delta remap (pathtracer.cu:1690-1718)
+- no depth-of-field (quirk, pathtracer.cu:1420-1422)
+- media vertices: phase-function scattering, interface (matIdx==-1)
+  crossings do not consume a bounce (pathtracer.cu:1494-1501)
+- infinite lights are not connected (the reference indexes kernel_lights
+  directly and never treats idx==n_lights, so neither do we)
+
+Documented deviations:
+- Path capacity honors the configured max_depth; the reference ignores its
+  maxDepth argument in BDPT and walks to BDPT_MAX_DEPTH=65 relying on
+  Russian roulette (pathtracer.cu:1393,1447).
+- A vertex is "a medium vertex" iff mat_idx == -1; the reference's general
+  Connect case instead tests the vertex's medium pointer
+  (pathtracer.cu:1869-1870), which misclassifies surfaces inside a medium.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gpu_pathtracer_tpu.core.rng import RngStream
+from gpu_pathtracer_tpu.core.vecmath import dot, is_black, luminance, normalize
+from gpu_pathtracer_tpu.geom import traverse
+from gpu_pathtracer_tpu.shade import bsdf as bsdf_mod
+from gpu_pathtracer_tpu.shade import camera as camera_mod
+from gpu_pathtracer_tpu.shade import lights as lights_mod
+from gpu_pathtracer_tpu.shade import media as media_mod
+
+INTERFACE_BUDGET = 8
+
+
+@struct.dataclass
+class Vertices:
+    """SoA subpath vertex storage (BdptVertex, pathtracer.cu:1395-1402)."""
+    pos: jnp.ndarray       # [N, K, 3]
+    nor: jnp.ndarray       # [N, K, 3] zero for medium vertices
+    uv: jnp.ndarray        # [N, K, 2]
+    dpdu: jnp.ndarray      # [N, K, 3]
+    beta: jnp.ndarray      # [N, K, 3]
+    fwd: jnp.ndarray       # [N, K] forward area-pdf
+    rev: jnp.ndarray       # [N, K] reverse area-pdf
+    delta: jnp.ndarray     # [N, K] bool
+    mat_idx: jnp.ndarray   # [N, K] i32 (-1 = medium vertex)
+    light_idx: jnp.ndarray  # [N, K] i32
+    medium: jnp.ndarray    # [N, K] i32 medium the vertex sits in
+    count: jnp.ndarray     # [N] i32 number of valid vertices
+
+
+def _empty_vertices(n, k):
+    z3 = jnp.zeros((n, k, 3), jnp.float32)
+    z1 = jnp.zeros((n, k), jnp.float32)
+    return Vertices(
+        pos=z3, nor=z3, uv=jnp.zeros((n, k, 2), jnp.float32), dpdu=z3,
+        beta=z3, fwd=z1, rev=z1, delta=jnp.zeros((n, k), bool),
+        mat_idx=jnp.full((n, k), -1, jnp.int32),
+        light_idx=jnp.full((n, k), -1, jnp.int32),
+        medium=jnp.full((n, k), -1, jnp.int32),
+        count=jnp.zeros(n, jnp.int32))
+
+
+def _lane_set(arr, mask, idx, val):
+    """arr[lane, idx[lane]] = val[lane] where mask[lane]."""
+    n = arr.shape[0]
+    lanes = jnp.arange(n)
+    idx = jnp.clip(idx, 0, arr.shape[1] - 1)
+    cur = arr[lanes, idx]
+    if val.ndim > mask.ndim:
+        m = mask.reshape(mask.shape + (1,) * (val.ndim - mask.ndim))
+    else:
+        m = mask
+    return arr.at[lanes, idx].set(jnp.where(m, val, cur))
+
+
+def _lane_get(arr, idx):
+    """arr[lane, idx[lane]] (idx clipped into range)."""
+    n = arr.shape[0]
+    return arr[jnp.arange(n), jnp.clip(idx, 0, arr.shape[1] - 1)]
+
+
+def _col(arr, i):
+    """arr[:, i] for a traced scalar i (clipped)."""
+    return jax.lax.dynamic_index_in_dim(
+        arr, jnp.clip(i, 0, arr.shape[1] - 1), axis=1, keepdims=False)
+
+
+def _convert_pdf(pdf, from_pos, to_pos, to_nor):
+    """ConvertPdf (pathtracer.cu:1405-1414): solid-angle pdf at `from`
+    converted to area measure at `to` (no cosine for medium vertices)."""
+    d = from_pos - to_pos
+    d2 = jnp.maximum(dot(d, d), 1e-30)
+    ret = pdf / d2
+    cos = jnp.abs(dot(d / jnp.sqrt(d2)[..., None], to_nor))
+    has_nor = dot(to_nor, to_nor) > 0.0
+    return jnp.where(has_nor, ret * cos, ret)
+
+
+def _generate_subpath(scene, static, key, n_verts, ro, rd, beta, forward,
+                      med, verts: Vertices, mode):
+    """Random-walk extension shared by camera and light subpaths
+    (GenerateCameraPath / GenerateLightPath, pathtracer.cu:1415-1690).
+
+    `verts` arrives holding vertex 0 (count == 1); the walk appends up to
+    n_verts - 1 more. `forward` is the solid-angle pdf of the first ray.
+    """
+    n = ro.shape[0]
+    eps = scene.epsilon
+    alive = jnp.ones(n, bool)
+    bounce_ct = jnp.zeros(n, jnp.int32)
+    n_steps = (n_verts - 1) + (INTERFACE_BUDGET if static.has_media else 0)
+
+    def step(carry, it):
+        verts, ro, rd, beta, forward, med, alive, bounce_ct = carry
+        skey = jax.random.fold_in(key, it)
+        rng = RngStream(jax.random.fold_in(skey, 0))
+
+        # capacity reached -> the walk is over for this lane
+        alive &= verts.count < n_verts
+
+        hit = traverse.intersect_closest(
+            scene, static, ro, rd, eps, jnp.where(alive, jnp.inf, eps))
+        alive &= hit.valid
+
+        if static.has_media:
+            weight, t_med, sampled = media_mod.medium_sample(
+                scene, static, med, ro, rd, hit.t,
+                jax.random.fold_in(skey, 1), alive)
+            beta = jnp.where(alive[:, None], beta * weight, beta)
+            alive &= ~is_black(beta)
+        else:
+            sampled = jnp.zeros(n, bool)
+            t_med = hit.t
+
+        prev_idx = verts.count - 1
+        prev_pos = _lane_get(verts.pos, prev_idx)
+        prev_nor = _lane_get(verts.nor, prev_idx)
+
+        # ---- medium scattering vertex (pathtracer.cu:1603-1630) --------
+        in_scatter = alive & sampled
+        if static.has_media:
+            sample_pos = ro + rd * t_med[:, None]
+            pu1, pu2 = rng.uniform2((n,))
+            new_dir, ph = media_mod.sample_phase(scene, med, -rd, pu1, pu2)
+            zeros3 = jnp.zeros((n, 3), jnp.float32)
+            fwd_m = _convert_pdf(forward, prev_pos, sample_pos, zeros3)
+            w = verts.count
+            verts = verts.replace(
+                pos=_lane_set(verts.pos, in_scatter, w, sample_pos),
+                nor=_lane_set(verts.nor, in_scatter, w, zeros3),
+                beta=_lane_set(verts.beta, in_scatter, w, beta),
+                fwd=_lane_set(verts.fwd, in_scatter, w, fwd_m),
+                delta=_lane_set(verts.delta, in_scatter, w,
+                                jnp.zeros(n, bool)),
+                mat_idx=_lane_set(verts.mat_idx, in_scatter, w,
+                                  jnp.full(n, -1, jnp.int32)),
+                light_idx=_lane_set(verts.light_idx, in_scatter, w,
+                                    jnp.full(n, -1, jnp.int32)),
+                medium=_lane_set(verts.medium, in_scatter, w, med))
+            rev_m = _convert_pdf(ph, sample_pos, prev_pos, prev_nor)
+            verts = verts.replace(
+                rev=_lane_set(verts.rev, in_scatter, prev_idx, rev_m))
+            forward = jnp.where(in_scatter, ph, forward)
+            ro = jnp.where(in_scatter[:, None], sample_pos, ro)
+            rd = jnp.where(in_scatter[:, None], new_dir, rd)
+
+        # ---- interface crossing: no bounce (pathtracer.cu:1632-1639) ---
+        on_surface = alive & ~sampled
+        interface = on_surface & (hit.mat_idx == -1)
+        going_out = dot(rd, hit.nor) > 0.0
+        side_med = jnp.where(going_out, hit.medium_outside,
+                             hit.medium_inside)
+        med = jnp.where(interface, side_med, med)
+        ro = jnp.where(interface[:, None], hit.pos, ro)
+        surf = on_surface & ~interface
+
+        # ---- surface vertex (pathtracer.cu:1641-1676) ------------------
+        mat = bsdf_mod.gather_materials(scene, static, hit.mat_idx, hit.uv)
+        delta = bsdf_mod.is_delta(mat.type)
+        fwd_s = _convert_pdf(forward, prev_pos, hit.pos, hit.nor)
+        w = verts.count
+        verts = verts.replace(
+            pos=_lane_set(verts.pos, surf, w, hit.pos),
+            nor=_lane_set(verts.nor, surf, w, hit.nor),
+            uv=_lane_set(verts.uv, surf, w, hit.uv),
+            dpdu=_lane_set(verts.dpdu, surf, w, hit.dpdu),
+            beta=_lane_set(verts.beta, surf, w, beta),
+            fwd=_lane_set(verts.fwd, surf, w, fwd_s),
+            delta=_lane_set(verts.delta, surf, w, delta),
+            mat_idx=_lane_set(verts.mat_idx, surf, w, hit.mat_idx),
+            light_idx=_lane_set(verts.light_idx, surf, w, hit.light_idx),
+            medium=_lane_set(verts.medium, surf, w, med))
+
+        u1, u2, u3 = rng.uniform3((n,))
+        wo, fr, pdf = bsdf_mod.sample_bsdf(
+            mat, -rd, hit.nor, hit.dpdu, u1, u2, u3, static.material_types,
+            mode=mode)
+        dead = surf & (is_black(fr) | (pdf <= 0.0))
+        alive &= ~dead
+        surf_go = surf & ~dead
+        beta_next = beta * fr * jnp.abs(dot(wo, hit.nor))[:, None] \
+            / jnp.maximum(pdf, 1e-30)[:, None]
+        beta = jnp.where(surf_go[:, None], beta_next, beta)
+        forward = jnp.where(surf_go, jnp.where(delta, 0.0, pdf), forward)
+
+        # reverse pdf of the previous vertex (pathtracer.cu:1666-1671)
+        _, pdf_r = bsdf_mod.eval_bsdf(
+            mat, wo, -rd, hit.nor, hit.dpdu, static.material_types)
+        rev_s = _convert_pdf(pdf_r, hit.pos, prev_pos, prev_nor)
+        verts = verts.replace(
+            rev=_lane_set(verts.rev, surf_go, prev_idx, rev_s))
+
+        out_side = jnp.where(dot(wo, hit.nor) > 0.0, hit.medium_outside,
+                             hit.medium_inside)
+        same_side = dot(-rd, hit.nor) * dot(wo, hit.nor) > 0.0
+        med = jnp.where(surf_go, jnp.where(same_side, med, out_side), med)
+        ro = jnp.where(surf_go[:, None], hit.pos, ro)
+        rd = jnp.where(surf_go[:, None], wo, rd)
+
+        consumed = in_scatter | surf
+        verts = verts.replace(
+            count=jnp.where(consumed, verts.count + 1, verts.count))
+        bounce_ct = jnp.where(consumed | interface,
+                              jnp.where(interface, bounce_ct, bounce_ct + 1),
+                              bounce_ct)
+
+        # Russian roulette (pathtracer.cu:1679-1686)
+        u_rr = rng.uniform((n,))
+        rr_pdf = jnp.clip(1.0 - luminance(beta), 0.0, 1.0)
+        do_rr = alive & (in_scatter | surf_go) & (bounce_ct > 4)
+        alive &= ~(do_rr & (u_rr < rr_pdf))
+        scale = 1.0 / jnp.maximum(1.0 - rr_pdf, 1e-30)
+        beta = jnp.where((do_rr & alive)[:, None], beta * scale[:, None],
+                         beta)
+
+        return (verts, ro, rd, beta, forward, med, alive, bounce_ct), None
+
+    carry = (verts, ro, rd, beta, forward, med, alive, bounce_ct)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    return carry[0]
+
+
+def _camera_subpath(scene, static, key, pixel_x, pixel_y, n_verts):
+    """GenerateCameraPath (pathtracer.cu:1415-1553). No DoF (quirk)."""
+    n = pixel_x.shape[0]
+    rng = RngStream(jax.random.fold_in(key, 0))
+    ox = rng.uniform((n,)) - 0.5
+    oy = rng.uniform((n,)) - 0.5
+    ro, rd = camera_mod.generate_primary_ray(
+        scene.camera, pixel_x.astype(jnp.float32) + ox,
+        pixel_y.astype(jnp.float32) + oy,
+        jnp.zeros((n, 2), jnp.float32), static.environment_camera)
+
+    verts = _empty_vertices(n, n_verts)
+    cam_pos = jnp.broadcast_to(scene.camera.position, (n, 3))
+    cam_nor = jnp.broadcast_to(-scene.camera.w, (n, 3))
+    med0 = jnp.full(n, static.camera_medium, jnp.int32)
+    t = jnp.ones(n, bool)
+    verts = verts.replace(
+        pos=_lane_set(verts.pos, t, verts.count, cam_pos),
+        nor=_lane_set(verts.nor, t, verts.count, cam_nor),
+        beta=_lane_set(verts.beta, t, verts.count,
+                       jnp.ones((n, 3), jnp.float32)),
+        fwd=_lane_set(verts.fwd, t, verts.count, jnp.ones(n, jnp.float32)),
+        medium=_lane_set(verts.medium, t, verts.count, med0),
+        count=verts.count + 1)
+
+    _, forward = camera_mod.pdf_camera(scene.camera, rd)
+    beta = jnp.ones((n, 3), jnp.float32)
+    return _generate_subpath(
+        scene, static, jax.random.fold_in(key, 1), n_verts, ro, rd, beta,
+        forward, med0, verts, bsdf_mod.RADIANCE)
+
+
+def _light_subpath(scene, static, key, n, n_verts):
+    """GenerateLightPath (pathtracer.cu:1553-1690)."""
+    rng = RngStream(jax.random.fold_in(key, 0))
+    eps = scene.epsilon
+    u_pick = rng.uniform((n,))
+    light_idx, choice_pdf = lights_mod.pick_light(scene, u_pick)
+    light_idx = jnp.minimum(light_idx, max(static.n_lights - 1, 0))
+    u1, u2, u3 = rng.uniform3((n,))
+    u4 = rng.uniform((n,))
+    ro, rd, l_nor, radiance, pdf_a, pdf_w = \
+        lights_mod.sample_area_light_emission(
+            scene, light_idx, u1, u2, u3, u4, eps)
+    med0 = jnp.take(scene.l_medium, light_idx, axis=0) \
+        if static.has_media else jnp.full(n, -1, jnp.int32)
+
+    verts = _empty_vertices(n, n_verts)
+    t = jnp.ones(n, bool)
+    verts = verts.replace(
+        pos=_lane_set(verts.pos, t, verts.count, ro),
+        nor=_lane_set(verts.nor, t, verts.count, l_nor),
+        beta=_lane_set(verts.beta, t, verts.count, radiance),
+        fwd=_lane_set(verts.fwd, t, verts.count, pdf_a * choice_pdf),
+        light_idx=_lane_set(verts.light_idx, t, verts.count, light_idx),
+        medium=_lane_set(verts.medium, t, verts.count, med0),
+        count=verts.count + 1)
+
+    denom = jnp.maximum(pdf_a * pdf_w * choice_pdf, 1e-30)
+    beta = radiance * (jnp.abs(dot(rd, l_nor)) / denom)[:, None]
+    return _generate_subpath(
+        scene, static, jax.random.fold_in(key, 1), n_verts, ro, rd, beta,
+        pdf_w, med0, verts, bsdf_mod.IMPORTANCE)
+
+
+def _remap(x):
+    """Delta pdfs are stored as 0; MIS remaps them to 1
+    (pathtracer.cu:1695-1697)."""
+    return jnp.where(x == 0.0, 1.0, x)
+
+
+def _mis_weight(cam: Vertices, light: Vertices, s, t,
+                c1_rev, c2_rev, l1_rev, l2_rev, l0_fwd):
+    """Iterative MIS weight (pathtracer.cu:1690-1718) with the Connect
+    cases' temporary pdf overrides passed functionally: c1/c2 replace
+    cam.rev at s-1/s-2; l1/l2 replace light.rev at t-1/t-2; l0_fwd
+    replaces light.fwd[0] when t == 1 (NaN = no override)."""
+    k_cam = cam.fwd.shape[1]
+    k_light = light.fwd.shape[1]
+
+    def cam_body(d, carry):
+        sum_w, ri = carry
+        i = s - 1 - d
+        m = i >= 1
+        rev_i = jnp.where(i == s - 1, c1_rev,
+                          jnp.where(i == s - 2, c2_rev, _col(cam.rev, i)))
+        ri = jnp.where(m, ri * _remap(rev_i) / _remap(_col(cam.fwd, i)), ri)
+        ok = m & ~_col(cam.delta, i) & ~_col(cam.delta, i - 1)
+        return jnp.where(ok, sum_w + ri, sum_w), ri
+
+    n = c1_rev.shape[0]
+    ones = jnp.ones(n, jnp.float32)
+    sum_w, _ = jax.lax.fori_loop(
+        0, k_cam, cam_body, (jnp.zeros(n, jnp.float32), ones))
+
+    def light_body(d, carry):
+        sum_w, ri = carry
+        i = t - 1 - d
+        m = i >= 0
+        rev_i = jnp.where(i == t - 1, l1_rev,
+                          jnp.where(i == t - 2, l2_rev,
+                                    _col(light.rev, i)))
+        fwd_i = _col(light.fwd, i)
+        fwd_i = jnp.where((i == 0) & (t == 1), l0_fwd, fwd_i)
+        ri = jnp.where(m, ri * _remap(rev_i) / _remap(fwd_i), ri)
+        # delta of the neighbor toward the light end (i==0 -> itself)
+        d_prev = _col(light.delta, jnp.maximum(i - 1, 0))
+        ok = m & ~_col(light.delta, i) & ~d_prev
+        return jnp.where(ok, sum_w + ri, sum_w), ri
+
+    sum_w, _ = jax.lax.fori_loop(0, k_light, light_body, (sum_w, ones))
+    w = 1.0 / (1.0 + sum_w)
+    return jnp.where(s + t == 2, jnp.ones_like(w), w)
+
+
+def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
+    """One BDPT sample per lane. Returns (li [N,3], splat film [W*H,3]).
+
+    li holds the s>=2 strategies for the lane's own pixel; the film holds
+    the s==1 light-tracing splats (Bdpt kernel, pathtracer.cu:1933-1970).
+    """
+    n = pixel_x.shape[0]
+    n_verts = static.max_depth + 1
+    eps = scene.epsilon
+    cam_v = _camera_subpath(scene, static, jax.random.fold_in(key, 0),
+                            pixel_x, pixel_y, n_verts)
+    light_v = _light_subpath(scene, static, jax.random.fold_in(key, 1),
+                             n, n_verts)
+    if static.n_lights == 0:
+        light_v = light_v.replace(count=jnp.zeros(n, jnp.int32))
+
+    li = jnp.zeros((n, 3), jnp.float32)
+    film = jnp.zeros((static.width * static.height, 3), jnp.float32)
+    cam = scene.camera
+
+    n_pairs = n_verts * (n_verts + 1)
+
+    def pair_body(p, carry):
+        li, film = carry
+        s = p // (n_verts + 1) + 1
+        t = p % (n_verts + 1)
+        rng = RngStream(jax.random.fold_in(key, 5000 + p))
+
+        valid = lane_mask & (s <= cam_v.count) & (t <= light_v.count) \
+            & ~((s == 1) & (t <= 1))
+
+        # gathered connection vertices (indices clipped; masked lanes
+        # compute garbage that is discarded)
+        c1p, c1n = _col(cam_v.pos, s - 1), _col(cam_v.nor, s - 1)
+        c2p, c2n = _col(cam_v.pos, s - 2), _col(cam_v.nor, s - 2)
+        c1_beta = _col(cam_v.beta, s - 1)
+        c1_mat_idx = _col(cam_v.mat_idx, s - 1)
+        c1_light = _col(cam_v.light_idx, s - 1)
+        c1_uv = _col(cam_v.uv, s - 1)
+        c1_dpdu = _col(cam_v.dpdu, s - 1)
+        c1_med = _col(cam_v.medium, s - 1)
+        c1_delta = _col(cam_v.delta, s - 1)
+        l1p, l1n = _col(light_v.pos, t - 1), _col(light_v.nor, t - 1)
+        l2p, l2n = _col(light_v.pos, t - 2), _col(light_v.nor, t - 2)
+        l1_beta = _col(light_v.beta, t - 1)
+        l1_mat_idx = _col(light_v.mat_idx, t - 1)
+        l1_uv = _col(light_v.uv, t - 1)
+        l1_dpdu = _col(light_v.dpdu, t - 1)
+        l1_med = _col(light_v.medium, t - 1)
+        l1_delta = _col(light_v.delta, t - 1)
+
+        c1_is_med = c1_mat_idx == -1
+        l1_is_med = l1_mat_idx == -1
+        c1_mat = bsdf_mod.gather_materials(scene, static, c1_mat_idx, c1_uv)
+        l1_mat = bsdf_mod.gather_materials(scene, static, l1_mat_idx, l1_uv)
+        in_c1 = normalize(c2p - c1p)   # toward the camera side
+        in_l1 = normalize(l2p - l1p)   # toward the light side
+
+        def surf_or_phase(is_med, med_idx, mat, nor, dpdu, w_in, w_out):
+            """fr and forward pdf at a vertex: BSDF or phase
+            (pathtracer.cu:1775-1786, 1829-1836, 1888-1898)."""
+            ph = media_mod.phase(scene, med_idx, w_in, w_out) \
+                if static.has_media else jnp.zeros(n, jnp.float32)
+            fr_s, pdf_s = bsdf_mod.eval_bsdf(
+                mat, w_in, w_out, nor, dpdu, static.material_types)
+            fr = jnp.where(is_med[:, None], ph[:, None], fr_s)
+            pdf = jnp.where(is_med, ph, pdf_s)
+            return fr, pdf
+
+        # ==== case t == 0: camera path hit a light (cu:1722-1749) =======
+        dir0 = in_c1
+        le0 = lights_mod.area_light_le(scene, c1_light, c1n, dir0)
+        L0 = c1_beta * le0
+        choice0 = lights_mod.light_choice_pdf(scene, jnp.maximum(c1_light, 0))
+        pdfA0, pdfW0 = lights_mod.area_light_pdf(
+            scene, jnp.maximum(c1_light, 0), dir0, c1n)
+        ov0 = (pdfA0 * choice0, _convert_pdf(pdfW0, c1p, c2p, c2n))
+        valid0 = valid & (c1_light >= 0) & ~is_black(L0)
+
+        # ==== case t == 1: NEE from the camera path (cu:1750-1809) ======
+        u_pick = rng.uniform((n,))
+        pick_idx, choice1 = lights_mod.pick_light(scene, u_pick)
+        pick_idx = jnp.minimum(pick_idx, max(static.n_lights - 1, 0))
+        lu1, lu2 = rng.uniform2((n,))
+        rad1, _, sd1, st1, lnor1, lpdf1 = lights_mod.sample_area_light(
+            scene, pick_idx, c1p, lu1, lu2, eps)
+        light_pos1 = c1p + sd1 * (st1 + eps)[:, None]
+        fr1, next_pdf1 = surf_or_phase(
+            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, in_c1, sd1)
+        G1 = jnp.where(c1_is_med, 1.0, jnp.abs(dot(c1n, sd1)))
+        L1pre = c1_beta * fr1 * rad1 * \
+            (G1 / jnp.maximum(lpdf1 * choice1, 1e-30))[:, None]
+        pdfA1, pdfW1 = lights_mod.area_light_pdf(scene, pick_idx, sd1, lnor1)
+        _, rev_pdf1 = surf_or_phase(
+            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, sd1, in_c1)
+        ov1 = (pdfA1 * choice1,                                 # l0 fwd
+               _convert_pdf(next_pdf1, c1p, light_pos1, lnor1),  # l1 rev
+               _convert_pdf(pdfW1, light_pos1, c1p, c1n),        # c1 rev
+               _convert_pdf(rev_pdf1, c1p, c2p, c2n))            # c2 rev
+        valid1 = valid & ~is_black(rad1) & (lpdf1 > 0.0) \
+            & ~(~c1_is_med & c1_delta) & ~is_black(L1pre)
+
+        # ==== case s == 1: splat to the camera (cu:1810-1857) ===========
+        _, sd2, st2, we2, cpdf2, rx2, ry2 = camera_mod.sample_camera(
+            cam, l1p, eps)
+        fr2, next_pdf2 = surf_or_phase(
+            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, in_l1, sd2)
+        cos2 = jnp.where(l1_is_med, 1.0, jnp.abs(dot(sd2, l1n)))
+        L2pre = l1_beta * fr2 * \
+            (we2 * cos2 / jnp.maximum(cpdf2, 1e-30))[:, None]
+        _, cam_pdfw2 = camera_mod.pdf_camera(cam, -sd2)
+        _, rev_pdf2 = surf_or_phase(
+            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, sd2, in_l1)
+        cam_pos = jnp.broadcast_to(cam.position, (n, 3))
+        ov2 = (_convert_pdf(cam_pdfw2, cam_pos, l1p, l1n),   # l1 rev
+               _convert_pdf(rev_pdf2, l1p, l2p, l2n))        # l2 rev
+        valid2 = valid & (cpdf2 != 0.0) & ~(~l1_is_med & l1_delta) \
+            & ~is_black(L2pre)
+
+        # ==== general case (cu:1858-1927) ================================
+        conn = c1p - l1p
+        d2g = jnp.maximum(dot(conn, conn), 1e-30)
+        l1_to_c1 = conn / jnp.sqrt(d2g)[:, None]
+        c1_to_l1 = -l1_to_c1
+        fr_c1, pdf_to_l1 = surf_or_phase(
+            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, in_c1, c1_to_l1)
+        fr_l1, pdf_to_c1 = surf_or_phase(
+            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, in_l1, l1_to_c1)
+        cos_l = jnp.where(l1_is_med, 1.0, jnp.abs(dot(l1_to_c1, l1n)))
+        cos_c = jnp.where(c1_is_med, 1.0, jnp.abs(dot(c1_to_l1, c1n)))
+        G3 = cos_l * cos_c / d2g
+        L3pre = c1_beta * fr_c1 * fr_l1 * l1_beta * G3[:, None]
+        _, pdf_to_l2 = surf_or_phase(
+            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, l1_to_c1, in_l1)
+        _, pdf_to_c2 = surf_or_phase(
+            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, c1_to_l1, in_c1)
+        ov3 = (_convert_pdf(pdf_to_c1, l1p, c1p, c1n),   # c1 rev
+               _convert_pdf(pdf_to_l1, c1p, l1p, l1n),   # l1 rev
+               _convert_pdf(pdf_to_l2, l1p, l2p, l2n),   # l2 rev
+               _convert_pdf(pdf_to_c2, c1p, c2p, c2n))   # c2 rev
+        valid3 = valid & ~(~c1_is_med & c1_delta) \
+            & ~(~l1_is_med & l1_delta) & ~is_black(L3pre)
+
+        # ---- one shadow ray for the active case -------------------------
+        is_t0 = t == 0
+        is_t1 = t == 1
+        is_s1 = (s == 1) & (t >= 2)
+        case_valid = jnp.where(is_t0, valid0,
+                               jnp.where(is_t1, valid1,
+                                         jnp.where(is_s1, valid2, valid3)))
+        sh_o = jnp.where(is_t1, c1p, jnp.where(is_s1, l1p, c1p))
+        sh_d = jnp.where(is_t1, sd1, jnp.where(is_s1, sd2, c1_to_l1))
+        sh_t = jnp.where(is_t1, st1,
+                         jnp.where(is_s1, st2, jnp.sqrt(d2g) - eps))
+        sh_med = jnp.where(is_s1, l1_med, c1_med)
+        needs_ray = case_valid & ~is_t0
+        tr = media_mod.transmittance(
+            scene, static, sh_med, sh_o, sh_d,
+            jnp.where(needs_ray, sh_t, 0.0),
+            jax.random.fold_in(key, 9000 + p), needs_ray)
+        tr = jnp.where(is_t0, 1.0, tr)
+        case_valid &= ~(~is_t0 & is_black(tr))
+
+        # ---- contribution + MIS -----------------------------------------
+        L = jnp.where(is_t0, L0,
+                      jnp.where(is_t1, L1pre,
+                                jnp.where(is_s1, L2pre, L3pre))) * tr
+        nanf = jnp.full(n, jnp.nan, jnp.float32)
+        c1_rev = jnp.where(is_t0, ov0[0],
+                           jnp.where(is_t1, ov1[2],
+                                     jnp.where(is_s1, nanf, ov3[0])))
+        c2_rev = jnp.where(is_t0, ov0[1],
+                           jnp.where(is_t1, ov1[3],
+                                     jnp.where(is_s1, nanf, ov3[3])))
+        l1_rev = jnp.where(is_t1, ov1[1],
+                           jnp.where(is_s1, ov2[0], ov3[1]))
+        l2_rev = jnp.where(is_s1, ov2[1], ov3[2])
+        l0_fwd = ov1[0]
+        mis = _mis_weight(cam_v, light_v, s, t, c1_rev, c2_rev,
+                          l1_rev, l2_rev, l0_fwd)
+        L = L * mis[:, None]
+
+        ok = case_valid & jnp.all(jnp.isfinite(L), axis=-1) & ~is_black(L)
+
+        # s==1 -> splat at the sampled raster; else own pixel (cu:1952-1967)
+        splat_idx = jnp.where(ok & is_s1,
+                              rx2 + ry2 * static.width, 0)
+        film = film.at[splat_idx].add(
+            jnp.where((ok & is_s1)[:, None], L, 0.0))
+        li = li + jnp.where((ok & ~is_s1)[:, None], L, 0.0)
+        return li, film
+
+    li, film = jax.lax.fori_loop(0, n_pairs, pair_body, (li, film))
+
+    bad = jnp.any(~jnp.isfinite(li), axis=-1)
+    li = jnp.where(bad[:, None], 0.0, li)
+    return li, film

@@ -30,7 +30,8 @@ def lane_program(integrator: IntegratorType):
     Returns (kind, fn): kind "pixel" maps lanes to pixels
     (fn(scene, static, key, px, py) -> [N, 3]); kind "film" traces
     lane-many paths and returns a whole splatted film
-    (fn(scene, static, key, n_paths) -> [W*H, 3]).
+    (fn(scene, static, key, n_paths) -> [W*H, 3]); kind "hybrid" does both
+    (fn(scene, static, key, px, py, mask) -> ([N, 3], [W*H, 3])).
     """
     from gpu_pathtracer_tpu.integrators import ao, pt
     if integrator == IntegratorType.AO:
@@ -43,21 +44,29 @@ def lane_program(integrator: IntegratorType):
     if integrator == IntegratorType.LT:
         from gpu_pathtracer_tpu.integrators import lt
         return "film", lt.render_film
+    if integrator == IntegratorType.BDPT:
+        from gpu_pathtracer_tpu.integrators import bdpt
+        return "hybrid", bdpt.render_lanes
     raise NotImplementedError(f"integrator {integrator!r} not yet built")
 
 
 class Renderer:
     def __init__(self, scene: HostScene | str, tile_size: int = DEFAULT_TILE,
                  seed: int = 0, cache: bool = True,
-                 integrator: IntegratorType | None = None):
+                 integrator: IntegratorType | None = None,
+                 max_depth: int | None = None):
         if isinstance(scene, str):
             scene = load_scene(scene)
         self.host = scene
         self.device_scene, self.static = flatten_scene(scene, cache=cache)
-        if integrator is not None:
+        if integrator is not None or max_depth is not None:
             import dataclasses
-            self.static = dataclasses.replace(self.static,
-                                              integrator=integrator)
+            repl = {}
+            if integrator is not None:
+                repl["integrator"] = integrator
+            if max_depth is not None:
+                repl["max_depth"] = max_depth
+            self.static = dataclasses.replace(self.static, **repl)
         self.width = self.static.width
         self.height = self.static.height
         self.seed = seed
@@ -89,6 +98,10 @@ class Renderer:
             @jax.jit
             def tile_step(dscene, key, px, py):
                 return program(dscene, static, key, px, py)
+        elif self.kind == "hybrid":
+            @jax.jit
+            def tile_step(dscene, key, px, py, mask):
+                return program(dscene, static, key, px, py, mask)
         else:
             @jax.jit
             def tile_step(dscene, key):
@@ -110,6 +123,19 @@ class Renderer:
                 tiles.append(jnp.where(self._mask[t][:, None], li, 0.0))
             img = jnp.concatenate(tiles, axis=0)[:n] if len(tiles) > 1 \
                 else tiles[0][:n]
+        elif self.kind == "hybrid":
+            # per-pixel strategies land on the lane's own pixel; s==1
+            # splats land on a shared film (Bdpt, pathtracer.cu:1952-1967)
+            img = jnp.zeros((n, 3), jnp.float32)
+            for t in range(self.n_tiles):
+                tile_key = jax.random.fold_in(key, t)
+                li, film = self._tile_step(self.device_scene, tile_key,
+                                           self._px[t], self._py[t],
+                                           self._mask[t])
+                li = jnp.where(self._mask[t][:, None], li, 0.0)
+                pix = (self._px[t] + self._py[t] * self.width)
+                img = img + film
+                img = img.at[jnp.where(self._mask[t], pix, 0)].add(li)
         else:
             # film-splat integrators (LT/BDPT): each tile traces
             # tile_size paths and returns a full film; the reference uses

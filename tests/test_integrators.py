@@ -22,9 +22,9 @@ def cornell_small(cornell_scene):
     return scene
 
 
-def _render(scene, integrator, spp, seed=0):
+def _render(scene, integrator, spp, seed=0, max_depth=None):
     r = Renderer(scene, integrator=integrator, tile_size=1024, seed=seed,
-                 cache=False)
+                 cache=False, max_depth=max_depth)
     r.render(spp)
     return r.radiance()
 
@@ -59,6 +59,16 @@ def test_lt_matches_vpt(cornell_small):
     a2 = a[:22]  # exclude rows containing the splatted light quirk
     b2 = b[:22]
     ratio = b2.mean() / a2.mean()
+    assert 0.85 < ratio < 1.18, ratio
+
+
+def test_bdpt_matches_vpt(cornell_small):
+    """BDPT combines many estimators of the same transport integral; its
+    mean image must agree with the unidirectional VPT estimate."""
+    a = _render(cornell_small, IntegratorType.VPT, 32, seed=1, max_depth=5)
+    b = _render(cornell_small, IntegratorType.BDPT, 8, seed=2, max_depth=5)
+    assert np.isfinite(b).all()
+    ratio = b.mean() / a.mean()
     assert 0.85 < ratio < 1.18, ratio
 
 
