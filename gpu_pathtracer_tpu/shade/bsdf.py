@@ -79,6 +79,13 @@ def is_delta(mtype):
         mtype == int(MaterialType.DIELECTRIC))
 
 
+def is_glossy(mtype):
+    """material.h:32-34."""
+    return (mtype == int(MaterialType.ROUGHCONDUCTOR)) | (
+        mtype == int(MaterialType.ROUGHDIELECTRIC)) | (
+        mtype == int(MaterialType.SUBSTRATE))
+
+
 # ---------------------------------------------------------------------------
 # Fresnel + microfacet building blocks (pathtracer.cu:51-164)
 # ---------------------------------------------------------------------------

@@ -72,6 +72,47 @@ def test_bdpt_matches_vpt(cornell_small):
     assert 0.85 < ratio < 1.18, ratio
 
 
+def test_sppm_matches_pt(cornell_small):
+    """SPPM's direct light is the same MIS estimator as PT; its photon
+    density estimate must agree with PT's indirect term (both ignore
+    media in the reference)."""
+    r = Renderer(cornell_small, integrator=IntegratorType.SPPM, seed=0,
+                 cache=False, max_depth=5, photons_per_iteration=8192)
+    r.render(8)
+    b = r.radiance()
+    a = _render(cornell_small, IntegratorType.PT, 16, seed=1, max_depth=5)
+    assert np.isfinite(b).all()
+    ratio = b.mean() / a.mean()
+    assert 0.8 < ratio < 1.2, ratio
+
+
+def test_sppm_radius_shrinks(cornell_small):
+    r = Renderer(cornell_small, integrator=IntegratorType.SPPM, seed=0,
+                 cache=False, max_depth=5, photons_per_iteration=4096)
+    r.render(3)
+    radius = np.asarray(r._sppm_state.radius)
+    valid = np.asarray(r._sppm_state.valid)
+    assert (radius[valid] < r.static.init_radius).any()
+    assert (radius > 0).all()
+
+
+def test_ir_smoke(cornell_small):
+    """Instant radiosity is biased (vplBias clamp) but must land in the
+    right brightness range on cornell."""
+    a = _render(cornell_small, IntegratorType.PT, 16, seed=1, max_depth=5)
+    b = _render(cornell_small, IntegratorType.IR, 8, seed=0, max_depth=5)
+    assert np.isfinite(b).all()
+    ratio = b.mean() / a.mean()
+    assert 0.5 < ratio < 1.5, ratio
+
+
+def test_mlt_stub_black(cornell_small):
+    """Reference parity: MLT is an empty stub kernel that is never
+    dispatched -> zero radiance (pathtracer.cu:1973-1983)."""
+    b = _render(cornell_small, IntegratorType.MLT, 1)
+    assert (b == 0).all()
+
+
 def test_deterministic_given_seed(cornell_small):
     a = _render(cornell_small, IntegratorType.PT, 2, seed=7)
     b = _render(cornell_small, IntegratorType.PT, 2, seed=7)
