@@ -66,6 +66,23 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
             alive &= ~(alive & (hit.light_idx >= 0)
                        & ((bounce_idx == 0) | specular))
 
+        # subsurface hits: dipole single+multiple scatter, then terminate.
+        # The reference ships SingleScatter/MultipleScatter dormant
+        # (pathtracer.cu:362-487, no kernel calls them); here they are the
+        # live shading path for primitives with a bssrdf index.
+        if static.has_bssrdf:
+            from gpu_pathtracer_tpu.shade import bssrdf as bssrdf_mod
+            sss = alive & (hit.bssrdf_idx >= 0)
+            ls = bssrdf_mod.single_scatter(
+                scene, static, rng, hit.pos, hit.nor, hit.bssrdf_idx,
+                -rd, sss)
+            ls += bssrdf_mod.multiple_scatter(
+                scene, static, rng, hit.pos, hit.nor, hit.bssrdf_idx,
+                -rd, sss)
+            ls_ok = jnp.all(jnp.isfinite(ls), axis=-1)
+            li += jnp.where((sss & ls_ok)[:, None], beta * ls, 0.0)
+            alive &= ~sss
+
         mat = bsdf_mod.gather_materials(scene, static, hit.mat_idx, hit.uv)
         wi = -rd
         not_delta = ~bsdf_mod.is_delta(mat.type)

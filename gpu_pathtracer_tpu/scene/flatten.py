@@ -173,6 +173,7 @@ class StaticConfig:
     has_textures: bool
     has_media: bool
     has_hetero: bool
+    has_bssrdf: bool
     filmic: bool
     environment_camera: bool
     camera_medium: int
@@ -611,6 +612,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
         has_media=bool(scene.mediums),
         has_hetero=any(m.type == MediumType.HETEROGENEOUS
                        for m in scene.mediums),
+        has_bssrdf=bool(scene.bssrdfs) and bool((bssrdf_idx >= 0).any()),
         filmic=scene.camera.filmic,
         environment_camera=scene.camera.environment,
         camera_medium=scene.camera.medium,
