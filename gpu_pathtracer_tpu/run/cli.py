@@ -25,6 +25,13 @@ def main(argv=None):
     ap.add_argument("--integrator", default=None,
                     choices=["ao", "pt", "vpt", "lt", "bdpt", "sppm", "ir"],
                     help="override the scene's integrator")
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz render checkpoint: resumed from if it "
+                         "exists, written after the render (and every "
+                         "--checkpoint-every spp)")
+    ap.add_argument("--checkpoint-every", type=int, default=64)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the render loop")
     args = ap.parse_args(argv)
 
     integrator = None
@@ -39,18 +46,59 @@ def main(argv=None):
           f"nodes, {r.width}x{r.height}, integrator={r.static.integrator.name}"
           f" (built in {time.time() - t0:.2f}s)")
 
+    # HBM usage breakdown (the reference prints the same per-category
+    # VRAM summary at startup, pathtracer.cu:2689-2694)
+    d = r.device_scene
+    mb = 1.0 / (1024 * 1024)
+
+    def _sz(*arrs):
+        return sum(a.nbytes for a in arrs) * mb
+
+    geo = _sz(d.v0, d.v1, d.v2, d.n0, d.n1, d.n2, d.uv0, d.uv1, d.uv2,
+              d.prim_attrs)
+    bvh = _sz(d.node_bbox_min, d.node_bbox_max, d.node_packed, d.leaf_prims)
+    print(f"[hbm] geometry {geo:.1f} MB, bvh {bvh:.1f} MB, "
+          f"materials {_sz(d.mat_attrs):.2f} MB, "
+          f"lights {_sz(d.light_attrs, d.light_cdf):.2f} MB, "
+          f"textures {_sz(d.tex_data):.1f} MB, "
+          f"env {_sz(d.env_data):.1f} MB, "
+          f"media {_sz(d.med_density, d.med_density_pairs):.1f} MB")
+
+    from gpu_pathtracer_tpu.run import checkpoint as ckpt
+    import os
+    start = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        ckpt.load_checkpoint(r, args.checkpoint)
+        start = r.iteration
+        print(f"[resume] {args.checkpoint} @ {start} spp")
+
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+
     t0 = time.time()
-    for i in range(args.spp):
+    for i in range(start, args.spp):
         r.render_iteration()
-        if (i + 1) % 16 == 0 or i == 0:
+        if (i + 1) % 16 == 0 or i == start:
             r.acc.block_until_ready()
             dt = time.time() - t0
             print(f"[render] {i + 1}/{args.spp} spp, "
-                  f"{(i + 1) / dt:.2f} spp/s")
+                  f"{(i + 1 - start) / dt:.2f} spp/s")
+        if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
+            r.acc.block_until_ready()
+            ckpt.save_checkpoint(r, args.checkpoint)
     r.acc.block_until_ready()
     dt = time.time() - t0
-    print(f"[render] {args.spp} spp in {dt:.2f}s "
-          f"({args.spp / dt:.2f} spp/s)")
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"[profile] trace in {args.profile}")
+    done = args.spp - start
+    print(f"[render] {done} spp in {dt:.2f}s "
+          f"({max(done, 1) / dt:.2f} spp/s)")
+    if args.checkpoint:
+        ckpt.save_checkpoint(r, args.checkpoint)
+        print(f"[out] checkpoint {args.checkpoint} @ {r.iteration} spp")
 
     save_png(args.out, r.image())
     print(f"[out] wrote {args.out}")
