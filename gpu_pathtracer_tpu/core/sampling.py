@@ -16,53 +16,65 @@ from gpu_pathtracer_tpu.core.vecmath import (
 )
 
 
-def _dir_from(costheta, sintheta, phi):
+def _dir_from_u2(costheta, sintheta, u2):
+    cphi, sphi = sincos_2pi(u2)
     return jnp.stack(
-        [sintheta * jnp.cos(phi), costheta, sintheta * jnp.sin(phi)], axis=-1)
+        [sintheta * cphi, costheta, sintheta * sphi], axis=-1)
+
+
+def sincos_2pi(u):
+    """(cos, sin) of phi = 2*pi*u for u in [0,1) with ONE transcendental.
+
+    sin is recovered as sign(pi - phi) * sqrt(1 - cos^2): for u <= 0.5 the
+    sine is non-negative, else negative. On the TPU VPU a sin/cos pair is
+    two expensive polynomial evaluations; sqrt is cheap — profiled, the
+    sampling warps' sincos pairs were the largest single compute cost of a
+    PT bounce.
+    """
+    c = jnp.cos(TWO_PI * u)
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    return c, jnp.where(u <= 0.5, s, -s)
+
 
 
 def uniform_sphere(u1, u2):
     """wrap.h:26-36. Returns (dir[...,3], pdf[...])."""
     costheta = 1.0 - 2.0 * u1
     sintheta = jnp.sqrt(jnp.maximum(1.0 - costheta * costheta, 0.0))
-    phi = TWO_PI * u2
     pdf = jnp.full_like(u1, INV_FOUR_PI)
-    return _dir_from(costheta, sintheta, phi), pdf
+    return _dir_from_u2(costheta, sintheta, u2), pdf
 
 
 def uniform_hemisphere(u1, u2):
     """wrap.h:38-49. Local frame, +Y up. Returns (dir, pdf)."""
     costheta = u1
     sintheta = jnp.sqrt(jnp.maximum(1.0 - costheta * costheta, 0.0))
-    phi = TWO_PI * u2
     pdf = jnp.full_like(u1, INV_TWO_PI)
-    return _dir_from(costheta, sintheta, phi), pdf
+    return _dir_from_u2(costheta, sintheta, u2), pdf
 
 
 def cosine_hemisphere(u1, u2):
     """wrap.h:51-62. Local frame, +Y up. Returns (dir, pdf=cos/pi)."""
     sintheta = jnp.sqrt(jnp.maximum(u1, 0.0))
     costheta = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-    phi = TWO_PI * u2
     pdf = costheta * INV_PI
-    return _dir_from(costheta, sintheta, phi), pdf
+    return _dir_from_u2(costheta, sintheta, u2), pdf
 
 
 def uniform_cone(u1, u2, costhetamax):
     """wrap.h:65-76. Returns (dir, pdf)."""
     costheta = 1.0 - u1 * (1.0 - costhetamax)
     sintheta = jnp.sqrt(jnp.maximum(1.0 - costheta * costheta, 0.0))
-    phi = TWO_PI * u2
     pdf = 1.0 / (TWO_PI * (1.0 - costhetamax))
-    return _dir_from(costheta, sintheta, phi), pdf
+    return _dir_from_u2(costheta, sintheta, u2), pdf
 
 
 def uniform_disk(u1, u2):
     """wrap.h:78-85. Returns (xy[...,2], pdf=1/pi)."""
     r = jnp.sqrt(jnp.maximum(u1, 0.0))
-    phi = TWO_PI * u2
+    cphi, sphi = sincos_2pi(u2)
     pdf = jnp.full_like(u1, INV_PI)
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1), pdf
+    return jnp.stack([r * cphi, r * sphi], axis=-1), pdf
 
 
 def concentric_disk(u1, u2):
@@ -100,8 +112,8 @@ def exponential_pdf(x, falloff):
 def gaussian_disk_infinity(u1, u2, falloff):
     """wrap.h:125-130."""
     r = jnp.sqrt(jnp.log(jnp.maximum(u1, 1e-30)) / -falloff)
-    theta = TWO_PI * u2
-    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+    ct, st = sincos_2pi(u2)
+    return jnp.stack([r * ct, r * st], axis=-1)
 
 
 def gaussian_disk_infinity_pdf(x, y, falloff):
@@ -113,8 +125,8 @@ def gaussian_disk(u1, u2, falloff, rmax):
     """wrap.h:142-147 (truncated gaussian disk)."""
     t = 1.0 - u1 * (1.0 - jnp.exp(-falloff * rmax * rmax))
     r = jnp.sqrt(jnp.log(jnp.maximum(t, 1e-30)) / -falloff)
-    theta = TWO_PI * u2
-    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+    ct, st = sincos_2pi(u2)
+    return jnp.stack([r * ct, r * st], axis=-1)
 
 
 def gaussian_disk_pdf(x, y, falloff, rmax):
@@ -146,8 +158,7 @@ def hg_sample(u1, u2, g):
     cos_hg = (1.0 + g * g - sqrt_term * sqrt_term) / (2.0 * g_safe)
     costheta = jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u1, cos_hg)
     sintheta = jnp.sqrt(jnp.maximum(1.0 - costheta * costheta, 0.0))
-    phi = TWO_PI * u2
-    d = _dir_from(costheta, sintheta, phi)
+    d = _dir_from_u2(costheta, sintheta, u2)
     cubic = 1.0 + g * g - 2.0 * g * costheta
     phase = INV_FOUR_PI * (1.0 - g * g) / jnp.sqrt(
         jnp.maximum(cubic * cubic * cubic, 1e-30))

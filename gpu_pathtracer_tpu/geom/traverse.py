@@ -224,6 +224,9 @@ def intersect_any(scene, static, ro, rd, tmin, tmax):
     Returns a bool mask [N]."""
     from gpu_pathtracer_tpu.geom import dense, packet
     if static.n_primitives <= dense.DENSE_MAX:
+        if jax.default_backend() == "tpu":
+            from gpu_pathtracer_tpu.geom import dense_tpu
+            return dense_tpu.dense_any(scene, static, ro, rd, tmin, tmax)
         return dense.dense_any(scene, static, ro, rd, tmin, tmax)
     _, _, found = packet.packet_traverse(
         scene, static, ro, rd, tmin, tmax, any_hit=True)
@@ -238,8 +241,13 @@ def intersect_closest(scene, static, ro, rd, tmin, tmax) -> Hit:
     """
     from gpu_pathtracer_tpu.geom import dense, packet
     if static.n_primitives <= dense.DENSE_MAX:
-        best_t, best_prim, found = dense.dense_closest(
-            scene, static, ro, rd, tmin, tmax)
+        if jax.default_backend() == "tpu":
+            from gpu_pathtracer_tpu.geom import dense_tpu
+            best_t, best_prim, found = dense_tpu.dense_closest(
+                scene, static, ro, rd, tmin, tmax)
+        else:
+            best_t, best_prim, found = dense.dense_closest(
+                scene, static, ro, rd, tmin, tmax)
     else:
         best_t, best_prim, found = packet.packet_traverse(
             scene, static, ro, rd, tmin, tmax, any_hit=False)

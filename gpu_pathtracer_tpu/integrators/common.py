@@ -32,6 +32,53 @@ def primary_rays(scene, static, rng: RngStream, pixel_x, pixel_y):
     return ro, rd
 
 
+def direct_light_nee(scene, static, rng: RngStream, pos, nor, dpdu,
+                     mat: bsdf_mod.MatParams, wi, active):
+    """The light-sample half of the MIS pair (pathtracer.cu:925-951) on
+    its own. The BSDF-sample half is folded into the path's continuation
+    ray by integrators that reuse the bounce sample (integrators.pt) —
+    same estimator, one less traversal + BSDF sample per bounce."""
+    n_lane = pos.shape[0]
+    ld = jnp.zeros((n_lane, 3), jnp.float32)
+    eps = scene.epsilon
+
+    u_pick = rng.uniform((n_lane,))
+    idx, choice_pdf = lights_mod.pick_light(scene, u_pick)
+    is_inf = idx == static.n_lights
+    u1, u2 = rng.uniform2((n_lane,))
+
+    if static.n_lights > 0:
+        (rad_a, so_a, sd_a, st_a, _ln_a, pdf_a) = \
+            lights_mod.sample_area_light(scene, idx, pos, u1, u2, eps)
+    else:
+        rad_a = jnp.zeros((n_lane, 3))
+        sd_a = nor
+        st_a = jnp.zeros(n_lane)
+        pdf_a = jnp.zeros(n_lane)
+    if static.has_infinite:
+        (rad_i, so_i, sd_i, st_i, _ln_i, pdf_i) = \
+            lights_mod.sample_infinite_light(scene, pos, u1, u2, eps)
+        rad = jnp.where(is_inf[:, None], rad_i, rad_a)
+        sd = jnp.where(is_inf[:, None], sd_i, sd_a)
+        st = jnp.where(is_inf, st_i, st_a)
+        light_pdf = jnp.where(is_inf, pdf_i, pdf_a)
+    else:
+        rad, sd, st, light_pdf = rad_a, sd_a, st_a, pdf_a
+
+    cand = active & ~is_black(rad) & (light_pdf > 0.0)
+    occluded = traverse.intersect_any(
+        scene, static, pos, sd, eps, jnp.where(cand, st, 0.0))
+    cand &= ~occluded
+
+    fr, sample_pdf = bsdf_mod.eval_bsdf(
+        mat, wi, sd, nor, dpdu, static.material_types)
+    weight = power_heuristic(1, light_pdf * choice_pdf, 1, sample_pdf)
+    denom = jnp.maximum(light_pdf * choice_pdf, 1e-30)
+    contrib = weight[:, None] * fr * rad * \
+        jnp.abs(dot(nor, sd))[:, None] / denom[:, None]
+    return ld + jnp.where(cand[:, None], contrib, 0.0)
+
+
 def direct_light(scene, static, rng: RngStream, pos, nor, dpdu,
                  mat: bsdf_mod.MatParams, wi, active):
     """One-sample NEE with MIS for surface points (pathtracer.cu:924-995).

@@ -1,9 +1,21 @@
 """Wavefront path tracer (reference Path kernel, pathtracer.cu:880-1021).
 
 The CUDA megakernel's per-thread bounce loop becomes a `lax.scan` over
-bounces carrying fixed-shape lane state; dead lanes are masked. Per bounce:
-closest-hit -> emitter/env accounting -> NEE with MIS -> BSDF sample ->
-Russian roulette (luminance-based after bounce 3, pathtracer.cu:1010-1016).
+bounces carrying fixed-shape lane state; dead lanes are masked.
+
+Estimator note: the reference draws TWO independent BSDF samples per
+bounce — one for the MIS BSDF-side branch (pathtracer.cu:953-992, its own
+closest-hit) and one for the continuation ray (997-1008). Here the
+continuation sample IS the MIS sample (the standard PBRT formulation):
+emitter/environment hits are credited at the next bounce's intersection
+with the power-heuristic weight against the stored BSDF pdf. Same
+expectation, one less traversal and one less BSDF sample per bounce —
+the wavefront's per-bounce cost drops ~1/3.
+
+Per bounce: closest-hit -> arrival credit (emitter/env with MIS) -> NEE
+light branch -> BSDF sample (continuation + MIS pdf) -> Russian roulette
+(luminance-based after bounce 3, pathtracer.cu:1010-1016). An epilogue
+intersection collects the final bounce's arrival credit.
 
 Media are ignored here exactly like the reference PT (the next-bounce ray
 drops the medium pointer, pathtracer.cu:1008); `vpt.py` is the
@@ -16,11 +28,52 @@ import jax
 import jax.numpy as jnp
 
 from gpu_pathtracer_tpu.core.rng import RngStream
+from gpu_pathtracer_tpu.core.sampling import power_heuristic
 from gpu_pathtracer_tpu.core.vecmath import dot, is_black, luminance
 from gpu_pathtracer_tpu.geom import traverse
-from gpu_pathtracer_tpu.integrators.common import direct_light, primary_rays
+from gpu_pathtracer_tpu.integrators.common import (
+    direct_light_nee, primary_rays,
+)
 from gpu_pathtracer_tpu.shade import bsdf as bsdf_mod
 from gpu_pathtracer_tpu.shade import lights as lights_mod
+
+
+def _arrival_credit(scene, static, hit, ro, rd, li, beta, specular,
+                    prev_pdf, alive, first):
+    """Emitter/env radiance reached by the continuation ray, MIS-weighted
+    against the BSDF pdf that generated it (folds pathtracer.cu:906-908,
+    917-922, 953-992 into one site). Returns (li, alive)."""
+    miss = alive & ~hit.valid
+    full = first | specular
+    if static.has_infinite:
+        env = lights_mod.infinite_le(scene, rd)
+        choice_inf = lights_mod.light_choice_pdf(
+            scene, jnp.full(rd.shape[0], static.n_lights, jnp.int32))
+        _, pdf_w_inf = lights_mod.infinite_pdf(scene)
+        w = jnp.where(full, 1.0,
+                      power_heuristic(1, prev_pdf, 1, pdf_w_inf * choice_inf))
+        li += jnp.where(miss[:, None], beta * env * w[:, None], 0.0)
+    alive &= hit.valid
+
+    if static.n_lights > 0:
+        emitter = alive & (hit.light_idx >= 0)
+        le = lights_mod.area_light_le(scene, hit.light_idx, hit.nor, -rd)
+        pdf_area, _ = lights_mod.area_light_pdf(
+            scene, jnp.maximum(hit.light_idx, 0), rd, hit.nor)
+        lchoice = lights_mod.light_choice_pdf(
+            scene, jnp.maximum(hit.light_idx, 0))
+        seg = hit.pos - ro
+        len2 = dot(seg, seg)
+        cos_l = jnp.abs(dot(hit.nor, rd))
+        l_pdf = pdf_area * len2 / jnp.maximum(cos_l, 1e-30)
+        w = jnp.where(full, 1.0,
+                      power_heuristic(1, prev_pdf, 1, l_pdf * lchoice))
+        emitter &= ~is_black(le)
+        li += jnp.where(emitter[:, None], beta * le * w[:, None], 0.0)
+        # the reference terminates only bounce-0/specular emitter hits
+        # (pathtracer.cu:917-922); MIS-credited hits continue
+        alive &= ~(alive & (hit.light_idx >= 0) & full)
+    return li, alive
 
 
 def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
@@ -38,9 +91,10 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
     beta = jnp.ones((n, 3), jnp.float32)
     specular = jnp.zeros(n, bool)
     alive = jnp.ones(n, bool)
+    prev_pdf = jnp.ones(n, jnp.float32)
 
     def bounce(carry, bounce_idx):
-        ro, rd, li, beta, specular, alive = carry
+        ro, rd, li, beta, specular, alive, prev_pdf = carry
         rng = RngStream(jax.random.fold_in(key, 1000 + bounce_idx))
         n_alive_in = jnp.sum(alive.astype(jnp.int32))
 
@@ -48,23 +102,9 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
             scene, static, ro, rd, eps,
             jnp.where(alive, jnp.inf, eps))
 
-        # miss -> environment on primary/specular rays (pathtracer.cu:905-909)
-        miss = alive & ~hit.valid
-        if static.has_infinite:
-            env = lights_mod.infinite_le(scene, rd)
-            take_env = miss & ((bounce_idx == 0) | specular)
-            li += jnp.where(take_env[:, None], beta * env, 0.0)
-        alive &= hit.valid
-
-        # hit an emitter on primary/specular rays (pathtracer.cu:917-922)
-        if static.n_lights > 0:
-            hit_light = alive & (hit.light_idx >= 0) & \
-                ((bounce_idx == 0) | specular)
-            le = lights_mod.area_light_le(scene, hit.light_idx, hit.nor, -rd)
-            li += jnp.where(hit_light[:, None], beta * le, 0.0)
-            # the reference breaks out after crediting the emitter
-            alive &= ~(alive & (hit.light_idx >= 0)
-                       & ((bounce_idx == 0) | specular))
+        li, alive = _arrival_credit(
+            scene, static, hit, ro, rd, li, beta, specular, prev_pdf,
+            alive, bounce_idx == 0)
 
         # subsurface hits: dipole single+multiple scatter, then terminate.
         # The reference ships SingleScatter/MultipleScatter dormant
@@ -87,12 +127,12 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
         wi = -rd
         not_delta = ~bsdf_mod.is_delta(mat.type)
 
-        # NEE with MIS (pathtracer.cu:924-995)
-        ld = direct_light(scene, static, rng, hit.pos, hit.nor, hit.dpdu,
-                          mat, wi, alive & not_delta)
+        # NEE light-sample branch (pathtracer.cu:925-951)
+        ld = direct_light_nee(scene, static, rng, hit.pos, hit.nor,
+                              hit.dpdu, mat, wi, alive & not_delta)
         li += beta * ld
 
-        # sample the next bounce direction (pathtracer.cu:997-1008)
+        # one BSDF sample: continuation + MIS pdf (pathtracer.cu:997-1008)
         u1, u2, u3 = rng.uniform3((n,))
         wo, fr, pdf = bsdf_mod.sample_bsdf(
             mat, wi, hit.nor, hit.dpdu, u1, u2, u3, static.material_types)
@@ -102,6 +142,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
             / jnp.maximum(pdf, 1e-30)[:, None]
         beta = jnp.where(alive[:, None], beta_next, beta)
         specular = jnp.where(alive, bsdf_mod.is_delta(mat.type), specular)
+        prev_pdf = jnp.where(alive, pdf, prev_pdf)
 
         ro = jnp.where(alive[:, None], hit.pos, ro)
         rd = jnp.where(alive[:, None], wo, rd)
@@ -115,20 +156,30 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
         beta = jnp.where((do_rr & alive)[:, None], beta * rr_scale[:, None],
                          beta)
 
-        # rays this bounce: 1 closest + (NEE shadow + MIS closest) on
-        # non-delta lanes (pathtracer.cu: Intersect x2 + IntersectP)
+        # rays this bounce: 1 closest + NEE shadow on non-delta lanes
         nee_lanes = jnp.sum((alive & not_delta).astype(jnp.int32))
-        rays = n_alive_in + 2 * nee_lanes
-        return (ro, rd, li, beta, specular, alive), rays
+        rays = n_alive_in + nee_lanes
+        return (ro, rd, li, beta, specular, alive, prev_pdf), rays
 
-    carry = (ro, rd, li, beta, specular, alive)
-    (ro, rd, li, beta, specular, alive), rays_per_bounce = jax.lax.scan(
+    carry = (ro, rd, li, beta, specular, alive, prev_pdf)
+    carry, rays_per_bounce = jax.lax.scan(
         bounce, carry, jnp.arange(static.max_depth))
+    ro, rd, li, beta, specular, alive, prev_pdf = carry
+
+    # epilogue: the last bounce's continuation ray still owes its
+    # emitter/env credit (the reference's BSDF-side branch at the final
+    # depth, pathtracer.cu:953-992)
+    hit = traverse.intersect_closest(
+        scene, static, ro, rd, eps, jnp.where(alive, jnp.inf, eps))
+    li, _ = _arrival_credit(
+        scene, static, hit, ro, rd, li, beta, specular, prev_pdf,
+        alive, jnp.zeros(n, bool))
+    tail_rays = jnp.sum(alive.astype(jnp.int32))
 
     # NaN/Inf guard (pathtracer.cu:1019-1020); unlike the reference (which
     # keeps the previous frame's value) we zero poisoned lanes.
     bad = jnp.any(~jnp.isfinite(li), axis=-1)
     li = jnp.where(bad[:, None], 0.0, li)
     if with_stats:
-        return li, jnp.sum(rays_per_bounce)
+        return li, jnp.sum(rays_per_bounce) + tail_rays
     return li

@@ -21,7 +21,10 @@ from gpu_pathtracer_tpu.scene.flatten import flatten_scene
 from gpu_pathtracer_tpu.scene.model import HostScene, IntegratorType
 from gpu_pathtracer_tpu.scene.parse import load_scene
 
-DEFAULT_TILE = 1 << 16
+# one 1024^2 frame per tile: per-call fixed costs (pallas launch, scan
+# plumbing) dominate below ~1M lanes, and lane state is small enough that
+# HBM holds a full frame; pass a smaller --tile for BDPT at high depth
+DEFAULT_TILE = 1 << 20
 
 
 def lane_program(integrator: IntegratorType):
@@ -127,9 +130,11 @@ class Renderer:
             self._sppm_step = sppm_step
             return
 
-        # one jitted program per TILE (compiled once, reused for every
-        # tile and iteration) — compiling all tiles into a single graph
-        # multiplies compile time by n_tiles for zero runtime gain
+        # ONE jitted step per iteration: the tile loop is a lax.scan
+        # INSIDE the jit (body compiled once), and the key derivation,
+        # masking and film accumulation are fused in. Under the tunneled
+        # TPU backend every eager dispatch costs ~10s of ms of latency, so
+        # an iteration must be exactly one device call.
         if self.kind == "ir":
             # VPL sets are regenerated every IR_MAX_VPLS iterations and one
             # row is gathered per frame (pathtracer.cu:2739-2744)
@@ -138,31 +143,89 @@ class Renderer:
             self._gen_vpls = jax.jit(
                 lambda dscene, key: ir_mod.generate_vpls(dscene, static,
                                                          key))
+            px, py, mask = self._px, self._py, self._mask
 
             @jax.jit
-            def tile_step(dscene, key, px, py, vpls, vpl_iter):
-                return program(dscene, static, key, px, py, vpls, vpl_iter)
+            def step(dscene, acc, it, vpls, vpl_slot):
+                key = iteration_key(self.seed, it)
+
+                def tile(_, xs):
+                    tkey, tpx, tpy, tmask = xs
+                    li = program(dscene, static, tkey, tpx, tpy, vpls,
+                                 vpl_slot)
+                    return None, jnp.where(tmask[:, None], li, 0.0)
+
+                keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+                    jnp.arange(self.n_tiles))
+                _, tiles = jax.lax.scan(tile, None, (keys, px, py, mask))
+                return acc + tiles.reshape(-1, 3)[:n]
         elif self.kind == "pixel":
-            @jax.jit
-            def tile_step(dscene, key, px, py):
-                return program(dscene, static, key, px, py)
-        elif self.kind == "hybrid":
-            @jax.jit
-            def tile_step(dscene, key, px, py, mask):
-                return program(dscene, static, key, px, py, mask)
-        else:
-            @jax.jit
-            def tile_step(dscene, key):
-                return program(dscene, static, key, self.tile_size)
+            px, py, mask = self._px, self._py, self._mask
 
-        self._tile_step = tile_step
+            @jax.jit
+            def step(dscene, acc, it):
+                key = iteration_key(self.seed, it)
+
+                def tile(_, xs):
+                    tkey, tpx, tpy, tmask = xs
+                    li = program(dscene, static, tkey, tpx, tpy)
+                    return None, jnp.where(tmask[:, None], li, 0.0)
+
+                keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+                    jnp.arange(self.n_tiles))
+                _, tiles = jax.lax.scan(tile, None, (keys, px, py, mask))
+                return acc + tiles.reshape(-1, 3)[:n]
+        elif self.kind == "hybrid":
+            # per-pixel strategies land on the lane's own pixel; s==1
+            # splats land on a shared film (Bdpt, pathtracer.cu:1952-1967)
+            px, py, mask = self._px, self._py, self._mask
+            pix = jnp.where(mask, px + py * self.width, 0)
+
+            @jax.jit
+            def step(dscene, acc, it):
+                key = iteration_key(self.seed, it)
+
+                def tile(img, xs):
+                    tkey, tpx, tpy, tmask, tpix = xs
+                    li, film = program(dscene, static, tkey, tpx, tpy,
+                                       tmask)
+                    li = jnp.where(tmask[:, None], li, 0.0)
+                    img = img + film
+                    return img.at[tpix].add(li), None
+
+                keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+                    jnp.arange(self.n_tiles))
+                img, _ = jax.lax.scan(
+                    tile, jnp.zeros((n, 3), jnp.float32),
+                    (keys, px, py, mask, pix))
+                return acc + img
+        else:
+            # film-splat integrators (LT): each tile traces tile_size
+            # paths returning a whole film; the reference uses exactly
+            # W*H paths per frame, so normalize by path count
+            @jax.jit
+            def step(dscene, acc, it):
+                key = iteration_key(self.seed, it)
+
+                def tile(img, tkey):
+                    return img + program(dscene, static, tkey,
+                                         self.tile_size), None
+
+                keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+                    jnp.arange(self.n_tiles))
+                img, _ = jax.lax.scan(
+                    tile, jnp.zeros((n, 3), jnp.float32), keys)
+                return acc + img * (n / (self.n_tiles * self.tile_size))
+
+        self._step = step
 
     def render_iteration(self) -> None:
-        """Add one sample per pixel to the accumulation film."""
+        """Add one sample per pixel to the accumulation film — exactly one
+        device dispatch (mirrors the reference's per-frame Render +
+        Output, pathtracer.cu:2705-2750)."""
         self.iteration += 1
-        n = self.width * self.height
-        key = iteration_key(self.seed, jnp.int32(self.iteration))
         if self.kind == "sppm":
+            key = iteration_key(self.seed, jnp.int32(self.iteration))
             self._sppm_state, film = self._sppm_step(
                 self.device_scene, self._sppm_state, key,
                 jnp.int32(self.iteration))
@@ -172,49 +235,15 @@ class Renderer:
             from gpu_pathtracer_tpu.integrators import ir as ir_mod
             slot = (self.iteration - 1) % ir_mod.IR_MAX_VPLS
             if slot == 0 or self._vpls is None:
+                key = iteration_key(self.seed, jnp.int32(self.iteration))
                 self._vpls = self._gen_vpls(
                     self.device_scene, jax.random.fold_in(key, 777))
-            tiles = []
-            for t in range(self.n_tiles):
-                tile_key = jax.random.fold_in(key, t)
-                li = self._tile_step(self.device_scene, tile_key,
-                                     self._px[t], self._py[t],
-                                     self._vpls, jnp.int32(slot))
-                tiles.append(jnp.where(self._mask[t][:, None], li, 0.0))
-            img = jnp.concatenate(tiles, axis=0)[:n] if len(tiles) > 1 \
-                else tiles[0][:n]
-        elif self.kind == "pixel":
-            tiles = []
-            for t in range(self.n_tiles):
-                tile_key = jax.random.fold_in(key, t)
-                li = self._tile_step(self.device_scene, tile_key,
-                                     self._px[t], self._py[t])
-                tiles.append(jnp.where(self._mask[t][:, None], li, 0.0))
-            img = jnp.concatenate(tiles, axis=0)[:n] if len(tiles) > 1 \
-                else tiles[0][:n]
-        elif self.kind == "hybrid":
-            # per-pixel strategies land on the lane's own pixel; s==1
-            # splats land on a shared film (Bdpt, pathtracer.cu:1952-1967)
-            img = jnp.zeros((n, 3), jnp.float32)
-            for t in range(self.n_tiles):
-                tile_key = jax.random.fold_in(key, t)
-                li, film = self._tile_step(self.device_scene, tile_key,
-                                           self._px[t], self._py[t],
-                                           self._mask[t])
-                li = jnp.where(self._mask[t][:, None], li, 0.0)
-                pix = (self._px[t] + self._py[t] * self.width)
-                img = img + film
-                img = img.at[jnp.where(self._mask[t], pix, 0)].add(li)
-        else:
-            # film-splat integrators (LT/BDPT): each tile traces
-            # tile_size paths and returns a full film; the reference uses
-            # exactly W*H paths per frame, so normalize by path count
-            img = jnp.zeros((n, 3), jnp.float32)
-            for t in range(self.n_tiles):
-                tile_key = jax.random.fold_in(key, t)
-                img = img + self._tile_step(self.device_scene, tile_key)
-            img = img * (n / (self.n_tiles * self.tile_size))
-        self.acc = self.acc + img
+            self.acc = self._step(self.device_scene, self.acc,
+                                  jnp.int32(self.iteration), self._vpls,
+                                  jnp.int32(slot))
+            return
+        self.acc = self._step(self.device_scene, self.acc,
+                              jnp.int32(self.iteration))
 
     def render(self, spp: int) -> np.ndarray:
         for _ in range(spp):

@@ -133,6 +133,11 @@ class DeviceScene:
     b_eta: jnp.ndarray           # [B]
     b_g: jnp.ndarray             # [B]
 
+    # dense-intersection prim table (geom/dense_tpu.py Pallas kernel):
+    # [Pp, 16] rows: v0(3) a(3) b(3) type r0 r1 prim_idx pad(3);
+    # a/b = e1/e2 for tris, p1/- for lines; type -1 pads to sublane mult
+    dense_prims: jnp.ndarray
+
     # packet-traversal tables (geom/packet.py):
     # node_packed [Nn, 8]: bbox_min(3) bbox_max(3) second_child pad
     node_packed: jnp.ndarray
@@ -174,6 +179,7 @@ class StaticConfig:
     has_media: bool
     has_hetero: bool
     has_bssrdf: bool
+    has_aniso: bool
     filmic: bool
     environment_camera: bool
     camera_medium: int
@@ -461,6 +467,20 @@ def flatten_scene(scene: HostScene, cache: bool = True
         focal=jnp.float32(cam.focalDistance),
     )
 
+    # dense-intersection table (padded so the Pallas kernel's prim loop
+    # covers full sublane groups; type -1 rows never match)
+    Pp = (P + 7) // 8 * 8
+    dense_prims = np.zeros((Pp, 16), np.float32)
+    dense_prims[P:, 9] = -1.0
+    is_tri_col = (prim_type == int(GeometryType.TRIANGLE))[:, None]
+    dense_prims[:P, 0:3] = v0
+    dense_prims[:P, 3:6] = np.where(is_tri_col, v1 - v0, v1)
+    dense_prims[:P, 6:9] = np.where(is_tri_col, v2 - v0, 0.0)
+    dense_prims[:P, 9] = prim_type
+    dense_prims[:P, 10] = radius0
+    dense_prims[:P, 11] = radius1
+    dense_prims[:P, 12] = np.arange(P)
+
     # packet-traversal tables
     Nn = bvh.n_nodes
     node_packed = np.zeros((Nn, 8), np.float32)
@@ -585,6 +605,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
         med_eval_tr_type=jnp.asarray(med_ett),
         b_sigma_a=jnp.asarray(b_sa), b_sigma_sp=jnp.asarray(b_sp),
         b_eta=jnp.asarray(b_eta), b_g=jnp.asarray(b_g),
+        dense_prims=jnp.asarray(dense_prims),
         node_packed=jnp.asarray(node_packed),
         leaf_prims=jnp.asarray(leaf_prims),
         prim_attrs=jnp.asarray(prim_attrs),
@@ -613,6 +634,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
         has_hetero=any(m.type == MediumType.HETEROGENEOUS
                        for m in scene.mediums),
         has_bssrdf=bool(scene.bssrdfs) and bool((bssrdf_idx >= 0).any()),
+        has_aniso=any(m.alphaU != m.alphaV for m in scene.materials),
         filmic=scene.camera.filmic,
         environment_camera=scene.camera.environment,
         camera_medium=scene.camera.medium,

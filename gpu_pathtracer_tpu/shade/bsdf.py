@@ -45,6 +45,9 @@ class MatParams:
     eta: jnp.ndarray        # [N, 3]
     specular: jnp.ndarray   # [N, 3]
     diffuse: jnp.ndarray    # [N, 3] texel-resolved diffuse color
+    # static: scene has any anisotropic material (compile-time gate for
+    # the tan/arctan branch of sample_ggx)
+    aniso: bool = struct.field(pytree_node=False, default=True)
 
 
 def gather_materials(scene, static, mat_idx, uv) -> MatParams:
@@ -70,6 +73,7 @@ def gather_materials(scene, static, mat_idx, uv) -> MatParams:
         eta=a[:, 8:11],
         specular=a[:, 14:17],
         diffuse=diffuse,
+        aniso=getattr(static, "has_aniso", True),
     )
 
 
@@ -163,13 +167,23 @@ def ggx_g(wo, wi, n, wh, dpdu, alpha_u, alpha_v):
         smith_g(wi, n, wh, dpdu, alpha_u, alpha_v)
 
 
-def sample_ggx(alpha_u, alpha_v, u1, u2):
-    """pathtracer.cu:107-138, local (+Y up) half vector."""
+def sample_ggx(alpha_u, alpha_v, u1, u2, aniso=True):
+    """pathtracer.cu:107-138, local (+Y up) half vector.
+
+    `aniso=False` (static, from StaticConfig.has_aniso) compiles out the
+    tan/arctan anisotropic branch — a large share of PT's transcendental
+    cost when every scene material is isotropic.
+    """
     # isotropic branch
     denom = u1 * (alpha_u * alpha_v - 1.0) + 1.0
     ct_iso = jnp.sqrt(jnp.clip((1.0 - u1) / jnp.maximum(denom, 1e-30),
                                0.0, 1.0))
     phi_iso = TWO_PI * u2
+    if not aniso:
+        from gpu_pathtracer_tpu.core.sampling import sincos_2pi
+        cphi, sphi = sincos_2pi(u2)
+        st_iso = jnp.sqrt(jnp.clip(1.0 - ct_iso * ct_iso, 0.0, 1.0))
+        return jnp.stack([st_iso * cphi, ct_iso, st_iso * sphi], axis=-1)
 
     # anisotropic branch
     base = jnp.arctan(alpha_v / alpha_u * jnp.tan(TWO_PI * u2))
@@ -263,7 +277,8 @@ def _sample_dielectric(mat, wi_in, nor, u1, mode):
 def _sample_roughconduct(mat, wi, nor, dpdu, u1, u2):
     """pathtracer.cu:553-578."""
     n = face_forward(nor, wi)
-    wh_local = sample_ggx(mat.alpha_u, mat.alpha_v, u1, u2)
+    wh_local = sample_ggx(mat.alpha_u, mat.alpha_v, u1, u2,
+                          mat.aniso)
     uu, ww = _shading_frame(n, dpdu)
     wh = to_world(wh_local, uu, n, ww)
     wo = reflect(wi, wh)
@@ -330,7 +345,8 @@ def _sample_substrate(mat, wi, nor, dpdu, u1, u2):
     wo_diff = to_world(local, uu, n, ww)
     # specular half
     ux = jnp.clip((u1 - 0.5) * 2.0, 0.0, 1.0)
-    wh = to_world(sample_ggx(mat.alpha_u, mat.alpha_v, ux, u2), uu, n, ww)
+    wh = to_world(sample_ggx(mat.alpha_u, mat.alpha_v, ux, u2,
+                             mat.aniso), uu, n, ww)
     wo_spec = reflect(wi, wh)
     wo = jnp.where((u1 < 0.5)[..., None], wo_diff, wo_spec)
     ok = same_hemisphere(wi, wo, n)
@@ -350,7 +366,8 @@ def _sample_roughdielectric(mat, wi_in, nor, dpdu, u1, u2, u3, mode):
     wi = -wi_in
     n = nor
     uu, ww = _shading_frame(n, dpdu)
-    wh = to_world(sample_ggx(mat.alpha_u, mat.alpha_v, u1, u2), uu, n, ww)
+    wh = to_world(sample_ggx(mat.alpha_u, mat.alpha_v, u1, u2,
+                             mat.aniso), uu, n, ww)
 
     cosi_n = dot(wi, n)
     enter = cosi_n < 0.0
