@@ -223,11 +223,15 @@ def intersect_any(scene, static, ro, rd, tmin, tmax):
     """Any-hit (shadow) query — reference IntersectP (pathtracer.cu:257-296).
     Returns a bool mask [N]."""
     from gpu_pathtracer_tpu.geom import dense, packet
+    on_tpu = jax.default_backend() == "tpu"
     if static.n_primitives <= dense.DENSE_MAX:
-        if jax.default_backend() == "tpu":
+        if on_tpu:
             from gpu_pathtracer_tpu.geom import dense_tpu
             return dense_tpu.dense_any(scene, static, ro, rd, tmin, tmax)
         return dense.dense_any(scene, static, ro, rd, tmin, tmax)
+    if on_tpu and static.n_primitives <= 65536:
+        from gpu_pathtracer_tpu.geom import dense_tpu
+        return dense_tpu.blocked_any(scene, static, ro, rd, tmin, tmax)
     _, _, found = packet.packet_traverse(
         scene, static, ro, rd, tmin, tmax, any_hit=True)
     return found
@@ -240,14 +244,19 @@ def intersect_closest(scene, static, ro, rd, tmin, tmax) -> Hit:
     scenes run the BVH walk.
     """
     from gpu_pathtracer_tpu.geom import dense, packet
+    on_tpu = jax.default_backend() == "tpu"
     if static.n_primitives <= dense.DENSE_MAX:
-        if jax.default_backend() == "tpu":
+        if on_tpu:
             from gpu_pathtracer_tpu.geom import dense_tpu
             best_t, best_prim, found = dense_tpu.dense_closest(
                 scene, static, ro, rd, tmin, tmax)
         else:
             best_t, best_prim, found = dense.dense_closest(
                 scene, static, ro, rd, tmin, tmax)
+    elif on_tpu and static.n_primitives <= 65536:
+        from gpu_pathtracer_tpu.geom import dense_tpu
+        best_t, best_prim, found = dense_tpu.blocked_closest(
+            scene, static, ro, rd, tmin, tmax)
     else:
         best_t, best_prim, found = packet.packet_traverse(
             scene, static, ro, rd, tmin, tmax, any_hit=False)

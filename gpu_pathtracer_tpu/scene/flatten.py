@@ -138,6 +138,11 @@ class DeviceScene:
     # a/b = e1/e2 for tris, p1/- for lines; type -1 pads to sublane mult
     dense_prims: jnp.ndarray
 
+    # block-culling table (geom/dense_tpu.py blocked kernel): bbox of each
+    # 64-prim run of the BVH-leaf-ordered prim array. [NB, 8]:
+    # min(3) max(3) pad(2)
+    block_bbox: jnp.ndarray
+
     # packet-traversal tables (geom/packet.py):
     # node_packed [Nn, 8]: bbox_min(3) bbox_max(3) second_child pad
     node_packed: jnp.ndarray
@@ -481,6 +486,27 @@ def flatten_scene(scene: HostScene, cache: bool = True
     dense_prims[:P, 11] = radius1
     dense_prims[:P, 12] = np.arange(P)
 
+    # block-culling bbox table: prims are BVH-leaf-ordered, so 64-prim
+    # runs are spatially local and their bounds are tight
+    BLOCK = 64
+    pb_min = np.where(
+        np.arange(Pp)[:, None] < P,
+        np.concatenate([bmin[order], np.zeros((Pp - P, 3), np.float32)]),
+        np.inf)
+    pb_max = np.where(
+        np.arange(Pp)[:, None] < P,
+        np.concatenate([bmax[order], np.zeros((Pp - P, 3), np.float32)]),
+        -np.inf)
+    nb = (Pp + BLOCK - 1) // BLOCK
+    pad_rows = nb * BLOCK - Pp
+    pb_min = np.concatenate(
+        [pb_min, np.full((pad_rows, 3), np.inf, np.float32)])
+    pb_max = np.concatenate(
+        [pb_max, np.full((pad_rows, 3), -np.inf, np.float32)])
+    block_bbox = np.zeros((nb, 8), np.float32)
+    block_bbox[:, 0:3] = pb_min.reshape(nb, BLOCK, 3).min(axis=1)
+    block_bbox[:, 3:6] = pb_max.reshape(nb, BLOCK, 3).max(axis=1)
+
     # packet-traversal tables
     Nn = bvh.n_nodes
     node_packed = np.zeros((Nn, 8), np.float32)
@@ -606,6 +632,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
         b_sigma_a=jnp.asarray(b_sa), b_sigma_sp=jnp.asarray(b_sp),
         b_eta=jnp.asarray(b_eta), b_g=jnp.asarray(b_g),
         dense_prims=jnp.asarray(dense_prims),
+        block_bbox=jnp.asarray(block_bbox),
         node_packed=jnp.asarray(node_packed),
         leaf_prims=jnp.asarray(leaf_prims),
         prim_attrs=jnp.asarray(prim_attrs),
