@@ -228,7 +228,14 @@ def save_exr(path: str, image: np.ndarray) -> None:
 
 def read_density_file(path: str, nx: int, ny: int, nz: int) -> np.ndarray:
     """Text density grid, one float per line (reference medium.h:237-245).
-    Returns [nz, ny, nx] float32 (index order d[z*ny*nx + y*nx + x])."""
+    Returns [nz, ny, nx] float32.
+
+    Index order d[z*ny*nx + y*nx + x], matching the reference
+    (medium.h:174-177). Verified as the true memory layout: it is the
+    only reshape smooth along all three axes. Note the bundled
+    cornell_box density.d then renders a DIAGONAL plume, while the
+    reference's historical golden (result/smoke.png) shows a vertical
+    one — the golden predates the bundled data."""
     data = np.loadtxt(path, dtype=np.float32).reshape(-1)
     if data.size != nx * ny * nz:
         raise ValueError(

@@ -13,6 +13,19 @@ PT plus participating media:
   shadow test, and the next-bounce medium follows the crossing side
   (pathtracer.cu:1224-1226);
 - the camera may start inside a medium (pathtracer.cu:1043).
+
+Estimator note (mirrors integrators.pt): the reference samples the BSDF
+twice per surface bounce — once for its MIS branch (pathtracer.cu:
+1157-1208) and once for the continuation. Here the continuation sample IS
+the MIS sample: emitter/env arrivals of surface-sampled rays are credited
+at the next intersection with the power-heuristic weight against the
+stored BSDF pdf. Phase-sampled continuations get no arrival credit,
+matching the reference (its medium NEE is light-sample-only and emitter
+hits need bounces==0||specular, pathtracer.cu:1071-1101, 1103-1115).
+Deviation: the reference attenuates its MIS branch by the current-segment
+Tr only (no interface walk, quirk at 1178-1184); the reform's arrival
+credit is attenuated by the distance-sampling weights of the actual
+segments crossed — the physically consistent estimate.
 """
 
 from __future__ import annotations
@@ -64,8 +77,10 @@ def _sample_light_toward(scene, static, rng, pos):
 
 def _direct_light_vol(scene, static, rng, key, pos, nor, dpdu, mat, wi,
                       med_idx, active):
-    """Surface NEE with MIS, shadow rays attenuated by transmittance
-    (pathtracer.cu:1128-1210)."""
+    """Surface NEE light branch with MIS weight, shadow rays attenuated by
+    the interface-walking transmittance (pathtracer.cu:1128-1155). The
+    BSDF-side branch lives in the arrival credit of the continuation ray
+    (see module docstring)."""
     n = pos.shape[0]
     eps = scene.epsilon
     ld = jnp.zeros((n, 3), jnp.float32)
@@ -84,54 +99,6 @@ def _direct_light_vol(scene, static, rng, key, pos, nor, dpdu, mat, wi,
         jnp.abs(dot(nor, sd))[:, None] / denom[:, None]
     ld += jnp.where(cand[:, None], contrib, 0.0)
 
-    # BSDF-sample branch with Tr through media (pathtracer.cu:1157-1208)
-    u1, u2, u3 = rng.uniform3((n,))
-    wo, fr_s, pdf_s = bsdf_mod.sample_bsdf(
-        mat, wi, nor, dpdu, u1, u2, u3, static.material_types)
-    cand_b = active & ~(is_black(fr_s) | (pdf_s == 0.0))
-    hit = traverse.intersect_closest(
-        scene, static, pos, wo, eps, jnp.where(cand_b, jnp.inf, eps))
-
-    if static.n_lights > 0:
-        hit_light = cand_b & hit.valid & (hit.light_idx >= 0)
-        le = lights_mod.area_light_le(scene, hit.light_idx, hit.nor, -wo)
-        pdf_area, _ = lights_mod.area_light_pdf(
-            scene, hit.light_idx, wo, hit.nor)
-        lchoice = lights_mod.light_choice_pdf(scene, hit.light_idx)
-        len2 = dot(hit.pos - pos, hit.pos - pos)
-        cos_l = jnp.abs(dot(hit.nor, wo))
-        l_pdf = pdf_area * len2 / jnp.maximum(cos_l, 1e-30)
-        w_b = power_heuristic(1, pdf_s, 1, l_pdf * lchoice)
-        hit_light &= ~is_black(le)
-        # NOTE: the reference attenuates this branch only by the CURRENT
-        # medium segment Tr (no interface walk, pathtracer.cu:1178-1184)
-        tr_b = media_mod.medium_tr_segment(
-            scene, static, med_idx, pos, wo,
-            jnp.where(hit_light, hit.t, 0.0),
-            jax.random.fold_in(key, 102), hit_light) \
-            if static.has_media else jnp.ones((n, 3))
-        contrib_b = w_b[:, None] * tr_b * fr_s * le * \
-            jnp.abs(dot(wo, nor))[:, None] \
-            / jnp.maximum(pdf_s, 1e-30)[:, None]
-        ld += jnp.where(hit_light[:, None], contrib_b, 0.0)
-
-    if static.has_infinite:
-        miss = cand_b & ~hit.valid
-        le_inf = lights_mod.infinite_le(scene, wo)
-        choice_inf = lights_mod.light_choice_pdf(
-            scene, jnp.full_like(hit.light_idx, static.n_lights))
-        _, pdf_w_inf = lights_mod.infinite_pdf(scene)
-        w_i = power_heuristic(1, pdf_s, 1, pdf_w_inf * choice_inf)
-        tr_i = media_mod.medium_tr_segment(
-            scene, static, med_idx, pos, wo,
-            jnp.where(miss, 2.0 * scene.world_radius, 0.0),
-            jax.random.fold_in(key, 103), miss) \
-            if static.has_media else jnp.ones((n, 3))
-        contrib_i = w_i[:, None] * tr_i * fr_s * le_inf * \
-            jnp.abs(dot(wo, nor))[:, None] \
-            / jnp.maximum(pdf_s, 1e-30)[:, None]
-        ld += jnp.where(miss[:, None], contrib_i, 0.0)
-
     return ld
 
 
@@ -148,11 +115,15 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
     alive = jnp.ones(n, bool)
     depth = jnp.zeros(n, jnp.int32)
     med = jnp.full(n, static.camera_medium, jnp.int32)  # pathtracer.cu:1043
+    prev_pdf = jnp.ones(n, jnp.float32)
+    from_surf = jnp.zeros(n, bool)
 
-    n_iters = static.max_depth + INTERFACE_BUDGET
+    # +1: the final bounce's continuation still owes its arrival credit
+    n_iters = static.max_depth + INTERFACE_BUDGET + 1
 
     def step(carry, it):
-        ro, rd, li, beta, specular, alive, depth, med = carry
+        (ro, rd, li, beta, specular, alive, depth, med, prev_pdf,
+         from_surf) = carry
         skey = jax.random.fold_in(key, 10_000 + it)
         rng = RngStream(jax.random.fold_in(skey, 0))
 
@@ -163,8 +134,15 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
         miss = alive & ~hit.valid
         if static.has_infinite:
             env = lights_mod.infinite_le(scene, rd)
-            take_env = miss & ((depth == 0) | specular)
-            li += jnp.where(take_env[:, None], beta * env, 0.0)
+            full = (depth == 0) | specular
+            choice_inf = lights_mod.light_choice_pdf(
+                scene, jnp.full(n, static.n_lights, jnp.int32))
+            _, pdf_w_inf = lights_mod.infinite_pdf(scene)
+            w_env = jnp.where(full, 1.0, power_heuristic(
+                1, prev_pdf, 1, pdf_w_inf * choice_inf))
+            take_env = miss & (full | from_surf)
+            li += jnp.where(take_env[:, None],
+                            beta * env * w_env[:, None], 0.0)
         alive &= hit.valid
 
         # medium distance sampling over [0, hit.t] (pathtracer.cu:1062-1070)
@@ -177,6 +155,11 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
         else:
             sampled = jnp.zeros(n, bool)
             t_med = hit.t
+
+        # crediting-only lanes (past max_depth) that scatter in a medium
+        # never reach their surface credit: they are done
+        at_max = depth >= static.max_depth
+        alive &= ~(sampled & at_max)
 
         # ---------- medium interaction (pathtracer.cu:1071-1101) --------
         in_scatter = alive & sampled
@@ -199,26 +182,45 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
             ro = jnp.where(in_scatter[:, None], sample_pos, ro)
             rd = jnp.where(in_scatter[:, None], new_dir, rd)
             specular = jnp.where(in_scatter, False, specular)
+            from_surf = jnp.where(in_scatter, False, from_surf)
 
         # ---------- surface interaction ---------------------------------
         on_surface = alive & ~sampled
 
-        # emitter hit on primary/specular (pathtracer.cu:1103-1115)
+        # emitter arrival (pathtracer.cu:1103-1115 + the reformulated
+        # MIS branch of 1157-1208)
         if static.n_lights > 0:
-            hit_light = on_surface & (hit.light_idx >= 0) & \
-                ((depth == 0) | specular)
+            full = (depth == 0) | specular
+            emitter = on_surface & (hit.light_idx >= 0)
             le = lights_mod.area_light_le(scene, hit.light_idx, hit.nor,
                                           -rd)
+            # full-credit quirk kept: extra segment-Tr factor (cu:1105-1112)
             tr_e = media_mod.medium_tr_segment(
                 scene, static, med, ro, rd,
-                jnp.where(hit_light, hit.t, 0.0),
-                jax.random.fold_in(skey, 3), hit_light) \
+                jnp.where(emitter & full, hit.t, 0.0),
+                jax.random.fold_in(skey, 3), emitter & full) \
                 if static.has_media else jnp.ones((n, 3))
-            li += jnp.where(hit_light[:, None], tr_e * beta * le, 0.0)
-            died = on_surface & (hit.light_idx >= 0) & \
-                ((depth == 0) | specular)
+            li += jnp.where((emitter & full)[:, None],
+                            tr_e * beta * le, 0.0)
+            pdf_area, _ = lights_mod.area_light_pdf(
+                scene, jnp.maximum(hit.light_idx, 0), rd, hit.nor)
+            lchoice = lights_mod.light_choice_pdf(
+                scene, jnp.maximum(hit.light_idx, 0))
+            seg = hit.pos - ro
+            len2 = dot(seg, seg)
+            cos_l = jnp.abs(dot(hit.nor, rd))
+            l_pdf = pdf_area * len2 / jnp.maximum(cos_l, 1e-30)
+            w_le = power_heuristic(1, prev_pdf, 1, l_pdf * lchoice)
+            mis_hit = emitter & ~full & from_surf & ~is_black(le)
+            li += jnp.where(mis_hit[:, None],
+                            beta * le * w_le[:, None], 0.0)
+            died = emitter & full
             alive &= ~died
             on_surface &= ~died
+
+        # lanes past max_depth existed only to collect arrival credit
+        alive &= ~at_max
+        on_surface &= ~at_max
 
         # medium interface: pass through, no bounce consumed
         # (pathtracer.cu:1117-1124)
@@ -250,6 +252,9 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
             / jnp.maximum(pdf, 1e-30)[:, None]
         beta = jnp.where(surf_go[:, None], beta_next, beta)
         specular = jnp.where(surf_go, bsdf_mod.is_delta(mat.type), specular)
+        prev_pdf = jnp.where(surf_go, pdf, prev_pdf)
+        from_surf = jnp.where(surf_go, ~bsdf_mod.is_delta(mat.type),
+                              from_surf)
 
         # next-bounce medium by crossing side; reflections keep the
         # current medium (pathtracer.cu:1224-1226)
@@ -264,7 +269,8 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
         # interfaces don't (pathtracer.cu:1118)
         consumed = in_scatter | surf_go
         depth = jnp.where(consumed, depth + 1, depth)
-        alive &= depth < static.max_depth
+        # lanes reaching max_depth stay alive ONE more intersection for
+        # their arrival credit (killed at the top of the next step)
 
         # Russian roulette (pathtracer.cu:1231-1237); skipped on
         # interface passes (reference `continue`)
@@ -276,9 +282,11 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
         beta = jnp.where((do_rr & alive)[:, None],
                          beta * rr_scale[:, None], beta)
 
-        return (ro, rd, li, beta, specular, alive, depth, med), None
+        return (ro, rd, li, beta, specular, alive, depth, med, prev_pdf,
+                from_surf), None
 
-    carry = (ro, rd, li, beta, specular, alive, depth, med)
+    carry = (ro, rd, li, beta, specular, alive, depth, med, prev_pdf,
+             from_surf)
     carry, _ = jax.lax.scan(step, carry, jnp.arange(n_iters))
     li = carry[2]
 

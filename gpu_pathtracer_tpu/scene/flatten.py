@@ -121,6 +121,17 @@ class DeviceScene:
     # x-adjacent pairs (d[x], d[x+1]) so trilinear taps need 4 gathers
     # instead of 8 (the tracking loops' inner cost)
     med_density_pairs: jnp.ndarray  # [K, Dz, Dy, Dx, 2] f32
+    # all 8 trilinear corners packed per cell (1-cell zero border), so one
+    # row gather serves a whole tap — the batched tracking estimators'
+    # innermost memory op. [K, Dz+1, Dy+1, Dx+1, 8]
+    med_density_oct: jnp.ndarray
+    # supervoxel majorant grid (SV^3 cells, dilated by one fine cell for
+    # the trilinear support), oct-packed like med_density_oct so a 2x2x2
+    # neighborhood max is one row fetch. [K, SV+1, SV+1, SV+1, 8]
+    med_sv_oct: jnp.ndarray
+    # row-max of med_sv_oct flattened: the segment majorant as ONE small
+    # table entry, fetched via ops/small_gather. [K*(SV+1)^3]
+    med_sv_max: jnp.ndarray
     med_n: jnp.ndarray           # [K, 3] i32 (nx, ny, nz)
     med_p0: jnp.ndarray          # [K, 3]
     med_p1: jnp.ndarray          # [K, 3]
@@ -189,6 +200,7 @@ class StaticConfig:
     environment_camera: bool
     camera_medium: int
     med_iter_max: int
+    track_k: int  # candidate cap for the batched free-flight estimators
     n_primitives: int
     n_nodes: int
     material_types: tuple  # sorted tuple of MaterialType ints present
@@ -224,6 +236,51 @@ def _tri_dpdv(pos: np.ndarray, uv: np.ndarray) -> np.ndarray:
     out = np.where(ok[:, None], dpdv, w)
     ln = np.linalg.norm(out, axis=-1, keepdims=True)
     return (out / np.maximum(ln, 1e-30)).astype(np.float32)
+
+
+def _oct_pack(med_density: np.ndarray) -> np.ndarray:
+    """[K,Dz,Dy,Dx] -> [K,Dz+1,Dy+1,Dx+1,8]: the 8 trilinear corner values
+    of every cell, with a zero border so edge taps read 0."""
+    K, Dz, Dy, Dx = med_density.shape
+    P = np.zeros((K, Dz + 2, Dy + 2, Dx + 2), np.float32)
+    P[:, 1:-1, 1:-1, 1:-1] = med_density
+    oct_ = np.empty((K, Dz + 1, Dy + 1, Dx + 1, 8), np.float32)
+    c = 0
+    for oz in (0, 1):
+        for oy in (0, 1):
+            for ox in (0, 1):
+                oct_[..., c] = P[:, oz:oz + Dz + 1, oy:oy + Dy + 1,
+                                 ox:ox + Dx + 1]
+                c += 1
+    return oct_
+
+
+SV = 8  # supervoxel grid resolution per axis
+
+
+def _sv_majorants(med_density: np.ndarray, med_n: np.ndarray) -> np.ndarray:
+    """[K,Dz,Dy,Dx] -> [K,SV,SV,SV] local majorants: max density over each
+    supervoxel's region dilated by one fine cell (trilinear support)."""
+    K = med_density.shape[0]
+    out = np.zeros((K, SV, SV, SV), np.float32)
+    for k in range(K):
+        nx, ny, nz = int(med_n[k][0]), int(med_n[k][1]), int(med_n[k][2])
+        if nx * ny * nz <= 1:
+            continue
+        d = med_density[k, :nz, :ny, :nx]
+        zs = np.linspace(0, nz, SV + 1)
+        ys = np.linspace(0, ny, SV + 1)
+        xs = np.linspace(0, nx, SV + 1)
+        for iz in range(SV):
+            z0, z1 = int(zs[iz]) - 1, int(np.ceil(zs[iz + 1])) + 1
+            for iy in range(SV):
+                y0, y1 = int(ys[iy]) - 1, int(np.ceil(ys[iy + 1])) + 1
+                for ix in range(SV):
+                    x0 = int(xs[ix]) - 1
+                    x1 = int(np.ceil(xs[ix + 1])) + 1
+                    r = d[max(z0, 0):z1, max(y0, 0):y1, max(x0, 0):x1]
+                    out[k, iz, iy, ix] = r.max() if r.size else 0.0
+    return out
 
 
 def _prim_bboxes(scene: HostScene):
@@ -426,6 +483,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
             dx = max(dx, m.nx)
     med_density = np.zeros((K, dz, dy, dx), np.float32)
     iter_max = 1000
+    track_k = 8
     for i, m in enumerate(scene.mediums):
         med_type[i] = int(m.type)
         med_g[i] = m.g
@@ -439,6 +497,13 @@ def flatten_scene(scene: HostScene, cache: bool = True
             med_p1[i] = m.p1
             med_imd[i] = m.inv_max_density
             med_density[i, :m.nz, :m.ny, :m.nx] = m.density
+            # Poisson candidate cap: mean majorant collisions over the
+            # box diagonal + 4 sigma (truncation bias ~ Poisson tail)
+            sig = float(LUMA64 @ (m.sigmaA + m.sigmaS))
+            lam = sig * (1.0 / max(m.inv_max_density, 1e-30)) \
+                * float(np.linalg.norm(m.p1 - m.p0))
+            track_k = max(track_k, int(min(
+                lam + 4.0 * np.sqrt(max(lam, 1.0)) + 4.0, 256)))
 
     # ---- bssrdfs ----------------------------------------------------------
     B = max(len(scene.bssrdfs), 1)
@@ -620,6 +685,11 @@ def flatten_scene(scene: HostScene, cache: bool = True
         med_sigma_a=jnp.asarray(med_sa), med_sigma_s=jnp.asarray(med_ss),
         med_sigma_t=jnp.asarray(med_sa + med_ss),
         med_density=jnp.asarray(med_density),
+        med_density_oct=jnp.asarray(_oct_pack(med_density)),
+        med_sv_oct=jnp.asarray(_oct_pack(_sv_majorants(
+            med_density, med_n))),
+        med_sv_max=jnp.asarray(_oct_pack(_sv_majorants(
+            med_density, med_n)).max(axis=-1).reshape(-1)),
         med_density_pairs=jnp.asarray(np.stack(
             [med_density,
              np.concatenate([med_density[..., 1:],
@@ -666,6 +736,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
         environment_camera=scene.camera.environment,
         camera_medium=scene.camera.medium,
         med_iter_max=iter_max,
+        track_k=track_k,
         n_primitives=P,
         n_nodes=bvh.n_nodes,
         material_types=tuple(sorted({int(m.type) for m in scene.materials})),

@@ -119,6 +119,144 @@ def _density(scene, med, pos_norm):
     return d0 * (1 - d[:, 2]) + d1 * d[:, 2]
 
 
+def _density_oct(scene, med_idx, med_n, pos_norm):
+    """Trilinear density at [M] points with ONE row gather: the
+    oct-packed grid holds all 8 corner values per cell (zero border).
+
+    Identical sampling semantics to `_density` (medium.h:160-178):
+    grid coords ps = pos_norm * n, cell floor(ps), corners zeroed outside
+    [0, n-1].
+    """
+    K, Dz1, Dy1, Dx1, _ = scene.med_density_oct.shape
+    rows = scene.med_density_oct.reshape(-1, 8)
+
+    ps = pos_norm * med_n.astype(jnp.float32)
+    psi = jnp.floor(ps)
+    f = ps - psi
+    # +1 for the zero border; clip keeps far-outside taps in border cells
+    xi = jnp.clip(psi[:, 0].astype(jnp.int32) + 1, 0, Dx1 - 1)
+    yi = jnp.clip(psi[:, 1].astype(jnp.int32) + 1, 0, Dy1 - 1)
+    zi = jnp.clip(psi[:, 2].astype(jnp.int32) + 1, 0, Dz1 - 1)
+    flat = (med_idx * (Dz1 * Dy1 * Dx1) + zi * (Dy1 * Dx1) + yi * Dx1 + xi)
+    v = jnp.take(rows, flat, axis=0)        # [M, 8]
+
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    d00 = v[:, 0] * (1 - fx) + v[:, 1] * fx
+    d10 = v[:, 2] * (1 - fx) + v[:, 3] * fx
+    d01 = v[:, 4] * (1 - fx) + v[:, 5] * fx
+    d11 = v[:, 6] * (1 - fx) + v[:, 7] * fx
+    d0 = d00 * (1 - fy) + d10 * fy
+    d1 = d01 * (1 - fy) + d11 * fy
+    return d0 * (1 - fz) + d1 * fz
+
+
+NSEG = 14         # fixed ray segments: ceil(sqrt(3) * SV), each no longer
+                  # than a supervoxel, so its majorant is a 2x2x2-cell max
+KSEG = 16         # candidates evaluated per chunk iteration
+SEG_COUNT_CAP = 64
+
+
+def _box_clip(med, ro, rd, tmax):
+    """Ray / medium-box overlap [t0, t0+ln] within [0, tmax] — density is
+    zero outside the grid box, so tracking only needs this range. Also
+    guarantees the segment-majorant bound: the clipped extent along each
+    axis is at most the box span, so each of the NSEG=14 segments spans
+    < 1 supervoxel per axis."""
+    eps = 1e-20
+    inv = 1.0 / jnp.where(jnp.abs(rd) > eps, rd,
+                          jnp.where(rd >= 0, eps, -eps))
+    t1 = (med["p0"] - ro) * inv
+    t2 = (med["p1"] - ro) * inv
+    tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    t0 = jnp.clip(tn, 0.0, tmax)
+    t_end = jnp.clip(tf, 0.0, tmax)
+    return t0, jnp.maximum(t_end - t0, 0.0)
+
+
+def _segment_majorants(scene, med, ro, rd, tmax):
+    """Local majorant per fixed ray segment via the supervoxel oct grid.
+
+    Segments are tmax/NSEG long (never longer than one supervoxel), so
+    the max over the 2x2x2 supervoxel block containing the segment's AABB
+    min corner bounds the (dilated) density everywhere on the segment.
+    Returns maj [N, NSEG].
+    """
+    from gpu_pathtracer_tpu.ops.small_gather import small_table_lookup
+    K, S1, _, _, _ = scene.med_sv_oct.shape
+    n = ro.shape[0]
+    span = med["p1"] - med["p0"]
+    seg = tmax / NSEG
+    ts = jnp.arange(NSEG + 1, dtype=jnp.float32)[None, :] * seg[:, None]
+    p = ro[:, None, :] + rd[:, None, :] * ts[..., None]
+    svc = (p - med["p0"][:, None, :]) / span[:, None, :] * (S1 - 1.0)
+    lo = jnp.minimum(svc[:, :-1], svc[:, 1:])                # [N, NSEG, 3]
+    cell = jnp.floor(lo).astype(jnp.int32) + 1               # zero border
+    cell = jnp.clip(cell, 0, S1 - 1)
+    flat = (med["idx"][:, None] * (S1 * S1 * S1)
+            + cell[..., 2] * (S1 * S1) + cell[..., 1] * S1 + cell[..., 0])
+    maj = small_table_lookup(scene.med_sv_max, flat)
+    # the 2x2x2 bound only holds while a segment spans <= 1 supervoxel
+    # per axis; longer segments (tmax beyond the grid box) fall back to
+    # the global majorant
+    d_sv = jnp.abs(svc[:, 1] - svc[:, 0])
+    local_ok = jnp.all(d_sv <= 1.0, axis=-1)
+    maxd = 1.0 / jnp.maximum(med["inv_max_density"], 1e-30)
+    return jnp.where(local_ok[:, None], maj, maxd[:, None])
+
+
+def _select_by_segment(table, seg_of):
+    """table [N, NSEG] picked at seg_of [N, K] -> [N, K] WITHOUT a gather:
+    XLA lowers take_along_axis to a serialized per-element gather (~50 ms
+    for [64k, 16] on v5e); NSEG selects are pure VPU work."""
+    out = jnp.zeros(seg_of.shape, table.dtype)
+    for s_i in range(NSEG):
+        out = jnp.where(seg_of == s_i, table[:, s_i:s_i + 1], out)
+    return out
+
+
+def _segment_counts(scene, med, ro, rd, tmax, rate_maj, key, active):
+    """Poisson candidate counts per segment at the LOCAL majorant rate —
+    empty space draws no candidates at all (the win over the reference's
+    global-majorant walk, medium.h:59-157). Returns (counts [N,NSEG] i32,
+    ccum [N,NSEG+1], seg_len [N])."""
+    sigma = _luma_sigma(med["sigma_t"])
+    seg_len = tmax / NSEG
+    lam = sigma[:, None] * rate_maj * seg_len[:, None]
+    counts = jax.random.poisson(
+        jax.random.fold_in(key, 0),
+        jnp.where(active[:, None], lam, 0.0)).astype(jnp.int32)
+    counts = jnp.minimum(counts, SEG_COUNT_CAP)
+    ccum = jnp.concatenate(
+        [jnp.zeros((counts.shape[0], 1), jnp.int32),
+         jnp.cumsum(counts, axis=1)], axis=1)
+    return counts, ccum, seg_len
+
+
+def _chunk_ids(chunk_i, ccum, total):
+    """Flat candidate ids for this chunk and their segment indices.
+    Returns (valid [N,KSEG], seg_of [N,KSEG] i32, next_base_seg [N])."""
+    base = chunk_i * KSEG
+    ids = base + jnp.arange(KSEG, dtype=jnp.int32)[None, :]
+    valid = ids < total[:, None]
+    seg_of = jnp.sum(ids[:, :, None] >= ccum[:, None, 1:],
+                     axis=-1).astype(jnp.int32)
+    next_seg = jnp.sum(base + KSEG >= ccum[:, 1:], axis=-1).astype(jnp.int32)
+    return valid, seg_of, next_seg
+
+
+def _chunk_density(scene, med, ro, rd, pos_t, valid):
+    n, k = pos_t.shape
+    span = med["p1"] - med["p0"]
+    p = ro[:, None, :] + rd[:, None, :] * pos_t[..., None]
+    p = (p - med["p0"][:, None, :]) / span[:, None, :]
+    med_idx_f = jnp.broadcast_to(med["idx"][:, None], (n, k)).reshape(-1)
+    med_n_f = jnp.broadcast_to(med["n"][:, None, :], (n, k, 3))
+    return _density_oct(
+        scene, jnp.where(valid.reshape(-1), med_idx_f, 0),
+        med_n_f.reshape(-1, 3), p.reshape(-1, 3)).reshape(n, k)
+
+
 def _luma_sigma(sigma_t):
     return jnp.maximum(jnp.sum(sigma_t * LUMA, axis=-1), 1e-12)
 
@@ -152,35 +290,52 @@ def medium_sample(scene, static, med_idx, ro, rd, tmax, key, active):
         return weight, t, sampled
 
     # ---- heterogeneous delta tracking (medium.h:133-157) ---------------
+    # Reformulated: majorant collisions form a Poisson process, sampled
+    # directly per ray segment at the LOCAL supervoxel majorant and
+    # evaluated in KSEG-wide chunks (one batched density gather each).
+    # The first accepted candidate (minimum position) is the collision —
+    # identical in distribution to the sequential walk.
     is_het = in_medium & (med["type"] == int(MediumType.HETEROGENEOUS))
-    span = med["p1"] - med["p0"]
+    t_box, ln_box = _box_clip(med, ro, rd, tmax)
+    tmax_h = jnp.where(is_het, ln_box, 0.0)
+    ro_h = ro + rd * t_box[:, None]
+    maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
+    kkey = jax.random.fold_in(key, 77)
+    counts, ccum, seg_len = _segment_counts(
+        scene, med, ro_h, rd, tmax_h, maj, kkey, is_het)
+    total = ccum[:, -1]
+    max_chunks = (NSEG * SEG_COUNT_CAP) // KSEG
 
     def cond(state):
-        i, dist, done, hit = state
-        return jnp.any(~done) & (i < static.med_iter_max)
+        chunk_i, found_t, done = state
+        return jnp.any(~done) & (chunk_i < max_chunks)
 
     def body(state):
-        i, dist, done, hit = state
-        k1 = jax.random.fold_in(key, 1000 + i)
-        us = jax.random.uniform(k1, (n, 2))
-        step = -jnp.log(jnp.maximum(us[:, 0], 1e-30)) \
-            * med["inv_max_density"] / sigma
-        dist_new = dist + step
-        escaped = dist_new >= tmax
-        p = ro + rd * dist_new[:, None]
-        p = (p - med["p0"]) / span
-        dens = _density(scene, med, p)
-        scat = dens * med["inv_max_density"] > us[:, 1]
-        newly_hit = ~done & ~escaped & scat
-        newly_done = ~done & (escaped | scat)
-        dist = jnp.where(done, dist, dist_new)
-        return (i + 1, dist, done | newly_done, hit | newly_hit)
+        chunk_i, found_t, done = state
+        ckey = jax.random.fold_in(kkey, 100 + chunk_i)
+        valid, seg_of, next_seg = _chunk_ids(chunk_i, ccum, total)
+        valid &= ~done[:, None]
+        u_pos = jax.random.uniform(jax.random.fold_in(ckey, 0),
+                                   valid.shape)
+        u_acc = jax.random.uniform(jax.random.fold_in(ckey, 1),
+                                   valid.shape)
+        pos_t = (seg_of.astype(jnp.float32) + u_pos) * seg_len[:, None]
+        dens = _chunk_density(scene, med, ro_h, rd, pos_t, valid)
+        maj_of = _select_by_segment(maj, seg_of)
+        accept = valid & (dens > u_acc * maj_of)
+        found_t = jnp.minimum(
+            found_t, jnp.min(jnp.where(accept, pos_t, jnp.inf), axis=1))
+        exhausted = (chunk_i + 1) * KSEG >= total
+        # stop once every remaining candidate lies past the collision
+        past = found_t <= next_seg.astype(jnp.float32) * seg_len
+        return chunk_i + 1, found_t, done | exhausted | past
 
-    dist0 = jnp.zeros(n)
-    done0 = ~is_het
-    hit0 = jnp.zeros(n, bool)
-    _, dist_d, _, hit_d = jax.lax.while_loop(
-        cond, body, (0, dist0, done0, hit0))
+    done0 = ~is_het | (total == 0)
+    _, found_t, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.full(n, jnp.inf),
+                     done0))
+    hit_d = is_het & jnp.isfinite(found_t)
+    dist_d = jnp.where(hit_d, t_box + found_t, tmax)
 
     w_d = jnp.where(hit_d[:, None],
                     med["sigma_s"] / jnp.maximum(med["sigma_t"], 1e-30),
@@ -215,65 +370,78 @@ def medium_tr_segment(scene, static, med_idx, ro, rd, tmax, key, active):
     max_density = 1.0 / jnp.maximum(med["inv_max_density"], 1e-30)
     ett = med["ett"]
 
-    # residual-ratio control: ce = 0.5 * maxDensity (medium.h:107-109)
+    # residual-ratio control: ce = 0.5 * maxDensity (medium.h:107-109).
+    # The control spans only the ray/box overlap: outside it d == 0 and
+    # the reference's control-times-tracking product is 1 in expectation.
     ce = 0.5 * max_density
-    tc = jnp.exp(-tmax * ce * sigma)
+    ett = med["ett"]
 
-    # step scale: delta/ratio use 1/maxDensity, residual uses
-    # 1/(maxDensity - ce)
-    step_scale = jnp.where(ett == 2,
-                           1.0 / jnp.maximum(max_density - ce, 1e-30),
-                           med["inv_max_density"]) / sigma
+    # Segmented Poisson-batch tracking (see medium_sample): candidates at
+    # the local supervoxel majorant rate; delta/ratio/residual factors as
+    # in medium.h:64-131. The mid-walk Russian roulette below tr=0.1 is
+    # kept per chunk (it bounds the walk in thick media). Residual uses
+    # rate max(maj, ce) so its factor stays in [0, 1+] (|d-ce| bound).
+    t_box, ln_box = _box_clip(med, ro, rd, tmax)
+    tmax_h = jnp.where(is_het, ln_box, 0.0)
+    ro_h = ro + rd * t_box[:, None]
+    tc = jnp.exp(-ln_box * ce * sigma)
+    maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
+    rate = jnp.where((ett == 2)[:, None],
+                     jnp.maximum(maj, ce[:, None]), maj)
+    kkey = jax.random.fold_in(key, 88)
+    counts, ccum, seg_len = _segment_counts(
+        scene, med, ro_h, rd, tmax_h, rate, kkey, is_het)
+    total = ccum[:, -1]
+    max_chunks = (NSEG * SEG_COUNT_CAP) // KSEG
 
     def cond(state):
-        i, dist, tr, done = state
-        return jnp.any(~done) & (i < static.med_iter_max)
+        chunk_i, tr_run, done = state
+        return jnp.any(~done) & (chunk_i < max_chunks)
 
     def body(state):
-        i, dist, tr, done = state
-        k1 = jax.random.fold_in(key, 5000 + i)
-        us = jax.random.uniform(k1, (n, 3))
-        step = -jnp.log(jnp.maximum(us[:, 0], 1e-30)) * step_scale
-        dist_new = dist + step
-        escaped = dist_new >= tmax
-        p = ro + rd * dist_new[:, None]
-        p = (p - med["p0"]) / span
-        dens = _density(scene, med, p)
+        chunk_i, tr_run, done = state
+        ckey = jax.random.fold_in(kkey, 200 + chunk_i)
+        valid, seg_of, _ = _chunk_ids(chunk_i, ccum, total)
+        valid &= ~done[:, None]
+        u_pos = jax.random.uniform(jax.random.fold_in(ckey, 0),
+                                   valid.shape)
+        u_acc = jax.random.uniform(jax.random.fold_in(ckey, 1),
+                                   valid.shape)
+        pos_t = (seg_of.astype(jnp.float32) + u_pos) * seg_len[:, None]
+        dens = _chunk_density(scene, med, ro_h, rd, pos_t, valid)
+        maj_of = _select_by_segment(maj, seg_of)
+        rate_of = _select_by_segment(rate, seg_of)
 
-        # delta tracking: terminate black on real collision (medium.h:71-86)
-        delta_hit = dens * med["inv_max_density"] > us[:, 1]
-        tr_delta = jnp.where(delta_hit, 0.0, tr)
-        done_delta = escaped | delta_hit
+        # delta (medium.h:71-86): black on any real collision
+        hit = valid & (dens > u_acc * maj_of)
+        f_delta = jnp.where(jnp.any(hit, axis=1), 0.0, 1.0)
+        # ratio (medium.h:88-105)
+        f_ratio = jnp.prod(jnp.where(
+            valid, 1.0 - dens / jnp.maximum(maj_of, 1e-30), 1.0), axis=1)
+        # residual ratio (medium.h:106-128)
+        f_res = jnp.prod(jnp.where(
+            valid, 1.0 - (dens - ce[:, None])
+            / jnp.maximum(rate_of, 1e-30), 1.0), axis=1)
 
-        # ratio tracking (medium.h:88-105) with RR below 0.1
-        tr_ratio = tr * (1.0 - dens * med["inv_max_density"])
-        rr_r = tr_ratio < 0.1
-        kill_r = rr_r & (us[:, 2] < (1.0 - tr_ratio))
-        tr_ratio = jnp.where(kill_r, 0.0, jnp.where(rr_r, 1.0, tr_ratio))
-        done_ratio = escaped | kill_r
+        factor = jnp.where(ett == 0, f_delta,
+                           jnp.where(ett == 1, f_ratio, f_res))
+        tr_new = tr_run * factor
 
-        # residual-ratio tracking (medium.h:106-128)
-        tr_res = tr * (1.0 - (dens - ce) / jnp.maximum(
-            max_density - ce, 1e-30))
-        rr_s = tr_res < 0.1
-        q = 1.0 - tr_res
-        kill_s = rr_s & (us[:, 2] < q)
-        tr_res = jnp.where(kill_s, 0.0,
-                           jnp.where(rr_s, tr_res / jnp.maximum(
-                               1.0 - q, 1e-30), tr_res))
-        done_res = escaped | kill_s
+        # Russian roulette below 0.1 (medium.h:95-104, 117-127):
+        # kill with prob 1-tr, survivors carry weight tr/(tr) = 1
+        u_rr = jax.random.uniform(jax.random.fold_in(ckey, 2), (n,))
+        rr = ~done & (tr_new < 0.1) & (tr_new >= 0.0)
+        kill = rr & (u_rr < 1.0 - tr_new)
+        tr_new = jnp.where(kill, 0.0, jnp.where(rr, 1.0, tr_new))
 
-        tr_new = jnp.where(ett == 0, tr_delta,
-                           jnp.where(ett == 1, tr_ratio, tr_res))
-        done_new = jnp.where(ett == 0, done_delta,
-                             jnp.where(ett == 1, done_ratio, done_res))
-        tr = jnp.where(done, tr, jnp.where(escaped, tr, tr_new))
-        dist = jnp.where(done, dist, dist_new)
-        return (i + 1, dist, tr, done | done_new)
+        exhausted = (chunk_i + 1) * KSEG >= total
+        done_new = done | kill | (tr_new == 0.0) | exhausted
+        tr_run = jnp.where(done, tr_run, tr_new)
+        return chunk_i + 1, tr_run, done_new
 
-    done0 = ~is_het
-    _, _, tr_d, _ = jax.lax.while_loop(
-        cond, body, (0, jnp.zeros(n), jnp.ones(n), done0))
+    done0 = ~is_het | (total == 0)
+    _, tr_d, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.ones(n), done0))
     tr_d = tr_d * jnp.where(ett == 2, tc, 1.0)
 
     tr = jnp.where(is_het[:, None], tr_d[:, None],
