@@ -1,0 +1,66 @@
+"""Multi-chip tests: the TPU analog of distributed tests (SURVEY.md §4).
+
+Runs on 8 virtual CPU devices (conftest). The core guarantee: sharding
+the lane axis over a mesh must not change the image — every lane draws
+its randomness from (key, lane-id) regardless of placement, so the
+N-device render equals the 1-device render bit for bit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpu_pathtracer_tpu.parallel import dist
+from gpu_pathtracer_tpu.scene.flatten import flatten_scene
+from gpu_pathtracer_tpu.scene.model import IntegratorType
+
+
+@pytest.fixture(scope="module")
+def small_scene(cornell_scene):
+    import copy
+    import dataclasses
+    scene = copy.copy(cornell_scene)
+    scene.width = scene.height = 16
+    dev, static = flatten_scene(scene, cache=False)
+    static = dataclasses.replace(static, integrator=IntegratorType.PT,
+                                 max_depth=3, width=16, height=16)
+    return dev, static
+
+
+def _render(dev, static, n_devices):
+    from gpu_pathtracer_tpu.integrators import pt
+    devices = jax.devices()[:n_devices]
+    mesh = dist.lane_mesh(devices)
+    n = dist.round_up(16 * 16, n_devices)
+    ids = np.arange(n) % (16 * 16)
+    px = jnp.asarray((ids % 16).astype(np.int32))
+    py = jnp.asarray((ids // 16).astype(np.int32))
+    acc = jnp.zeros((n, 3), jnp.float32)
+    px, py, acc = dist.shard_lanes(mesh, px, py, acc)
+    scene = dist.replicate(mesh, dev)
+    step, _ = dist.make_sharded_step(pt.render_lanes, static, mesh, n)
+    for i in range(2):
+        acc = step(scene, acc, jax.random.PRNGKey(7 + i), px, py)
+    return np.asarray(acc)[:16 * 16]
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_multi_device_matches_single(small_scene):
+    dev, static = small_scene
+    a = _render(dev, static, 1)
+    b = _render(dev, static, 8)
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_replicated_scene_no_lane_dependence(small_scene):
+    """The scene pytree must be placement-invariant: replicate() then a
+    trivial reduction equals the host value."""
+    dev, _ = small_scene
+    mesh = dist.lane_mesh(jax.devices()[:8])
+    rep = dist.replicate(mesh, dev)
+    assert np.allclose(np.asarray(rep.v0), np.asarray(dev.v0))
