@@ -299,6 +299,32 @@ def medium_sample(scene, static, med_idx, ro, rd, tmax, key, active):
     t_box, ln_box = _box_clip(med, ro, rd, tmax)
     tmax_h = jnp.where(is_het, ln_box, 0.0)
     ro_h = ro + rd * t_box[:, None]
+
+    def run_tracking(_):
+        return _sample_tracking(scene, med, ro_h, rd, tmax_h, key, is_het)
+
+    # whole-batch skip: when no lane's segment overlaps the density box
+    # (common for shadow/connection rays), pay nothing
+    found_t = jax.lax.cond(
+        jnp.any(tmax_h > 0.0), run_tracking,
+        lambda _: jnp.full(n, jnp.inf), None)
+    hit_d = is_het & jnp.isfinite(found_t)
+    dist_d = jnp.where(hit_d, t_box + found_t, tmax)
+
+    w_d = jnp.where(hit_d[:, None],
+                    med["sigma_s"] / jnp.maximum(med["sigma_t"], 1e-30),
+                    1.0)
+
+    weight = jnp.where(is_het[:, None], w_d,
+                       jnp.where(in_medium[:, None], w_h, 1.0))
+    t = jnp.where(is_het, dist_d, jnp.where(in_medium, dist_h, tmax))
+    sampled = jnp.where(is_het, hit_d, in_medium & sampled_h)
+    return weight, t, sampled
+
+
+def _sample_tracking(scene, med, ro_h, rd, tmax_h, key, is_het):
+    """Chunked first-collision walk (see medium_sample)."""
+    n = ro_h.shape[0]
     maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
     kkey = jax.random.fold_in(key, 77)
     counts, ccum, seg_len = _segment_counts(
@@ -334,18 +360,7 @@ def medium_sample(scene, static, med_idx, ro, rd, tmax, key, active):
     _, found_t, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), jnp.full(n, jnp.inf),
                      done0))
-    hit_d = is_het & jnp.isfinite(found_t)
-    dist_d = jnp.where(hit_d, t_box + found_t, tmax)
-
-    w_d = jnp.where(hit_d[:, None],
-                    med["sigma_s"] / jnp.maximum(med["sigma_t"], 1e-30),
-                    1.0)
-
-    weight = jnp.where(is_het[:, None], w_d,
-                       jnp.where(in_medium[:, None], w_h, 1.0))
-    t = jnp.where(is_het, dist_d, jnp.where(in_medium, dist_h, tmax))
-    sampled = jnp.where(is_het, hit_d, in_medium & sampled_h)
-    return weight, t, sampled
+    return found_t
 
 
 def medium_tr_segment(scene, static, med_idx, ro, rd, tmax, key, active):
@@ -385,6 +400,23 @@ def medium_tr_segment(scene, static, med_idx, ro, rd, tmax, key, active):
     tmax_h = jnp.where(is_het, ln_box, 0.0)
     ro_h = ro + rd * t_box[:, None]
     tc = jnp.exp(-ln_box * ce * sigma)
+
+    tr_d = jax.lax.cond(
+        jnp.any(tmax_h > 0.0),
+        lambda _: _tr_tracking(scene, med, ro_h, rd, tmax_h, ce,
+                               max_density, ett, key, is_het),
+        lambda _: jnp.ones(n), None)
+    tr_d = tr_d * jnp.where(ett == 2, tc, 1.0)
+
+    tr = jnp.where(is_het[:, None], tr_d[:, None],
+                   jnp.where(in_medium[:, None], tr_h, 1.0))
+    return tr
+
+
+def _tr_tracking(scene, med, ro_h, rd, tmax_h, ce, max_density, ett, key,
+                 is_het):
+    """Chunked transmittance walk (see medium_tr_segment)."""
+    n = ro_h.shape[0]
     maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
     rate = jnp.where((ett == 2)[:, None],
                      jnp.maximum(maj, ce[:, None]), maj)
@@ -442,11 +474,7 @@ def medium_tr_segment(scene, static, med_idx, ro, rd, tmax, key, active):
     done0 = ~is_het | (total == 0)
     _, tr_d, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), jnp.ones(n), done0))
-    tr_d = tr_d * jnp.where(ett == 2, tc, 1.0)
-
-    tr = jnp.where(is_het[:, None], tr_d[:, None],
-                   jnp.where(in_medium[:, None], tr_h, 1.0))
-    return tr
+    return tr_d
 
 
 def transmittance(scene, static, med_idx, ro, rd, tmax, key, active):
