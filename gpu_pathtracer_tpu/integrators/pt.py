@@ -76,25 +76,51 @@ def _arrival_credit(scene, static, hit, ro, rd, li, beta, specular,
     return li, alive
 
 
+def _sort_key(scene, ro, rd, alive):
+    """Wavefront coherence key: direction octant + 4-bit/axis origin
+    morton. Dead lanes sort to the end (compaction). The block-culled
+    traversal (geom/dense_tpu.py) wins when a ray tile shares a frustum;
+    raster order only gives that to primary rays — secondary rays get it
+    from this sort."""
+    c = scene.world_center
+    r = jnp.maximum(scene.world_radius, 1e-6)
+    q = jnp.clip(((ro - c) / (2.0 * r) + 0.5) * 15.999, 0.0,
+                 15.0).astype(jnp.int32)
+    morton = jnp.zeros(ro.shape[0], jnp.int32)
+    for b in range(4):
+        for a in range(3):
+            morton = morton | (((q[:, a] >> b) & 1) << (3 * b + a))
+    octant = ((rd[:, 0] > 0).astype(jnp.int32)
+              | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((rd[:, 2] > 0).astype(jnp.int32) << 2))
+    key = (octant << 12) | morton
+    return jnp.where(alive, key, 1 << 20)
+
+
 def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
     """Returns per-lane radiance [N, 3] for one path-traced sample.
 
     with_stats=True additionally returns the number of rays traced
     (closest-hit + any-hit across all bounces) for throughput metrics.
     """
+    from gpu_pathtracer_tpu.geom.dense import DENSE_MAX
     n = pixel_x.shape[0]
     rng0 = RngStream(key)
     ro, rd = primary_rays(scene, static, rng0, pixel_x, pixel_y)
     eps = scene.epsilon
+    # lane shuffling is only worth it when traversal cares about
+    # coherence (block-culled / packet paths); dense scenes skip it
+    do_sort = static.n_primitives > DENSE_MAX
 
     li = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
     specular = jnp.zeros(n, bool)
     alive = jnp.ones(n, bool)
     prev_pdf = jnp.ones(n, jnp.float32)
+    lane_id = jnp.arange(n, dtype=jnp.int32)
 
     def bounce(carry, bounce_idx):
-        ro, rd, li, beta, specular, alive, prev_pdf = carry
+        ro, rd, li, beta, specular, alive, prev_pdf, lane_id = carry
         rng = RngStream(jax.random.fold_in(key, 1000 + bounce_idx))
         n_alive_in = jnp.sum(alive.astype(jnp.int32))
 
@@ -156,15 +182,35 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
         beta = jnp.where((do_rr & alive)[:, None], beta * rr_scale[:, None],
                          beta)
 
+        # re-sort the wavefront by the next ray's coherence key — a
+        # multi-operand lax.sort (bitonic network, ~0.1 ms at 262k lanes),
+        # NOT a gather; dead lanes compact to the tail
+        if do_sort:
+            skey = _sort_key(scene, ro, rd, alive)
+            (_, rox, roy, roz, rdx, rdy, rdz, l0, l1, l2, b0, b1, b2,
+             spec_i, alive_i, prev_pdf, lane_id) = jax.lax.sort(
+                (skey, ro[:, 0], ro[:, 1], ro[:, 2],
+                 rd[:, 0], rd[:, 1], rd[:, 2],
+                 li[:, 0], li[:, 1], li[:, 2],
+                 beta[:, 0], beta[:, 1], beta[:, 2],
+                 specular.astype(jnp.int32), alive.astype(jnp.int32),
+                 prev_pdf, lane_id), num_keys=1)
+            ro = jnp.stack([rox, roy, roz], axis=-1)
+            rd = jnp.stack([rdx, rdy, rdz], axis=-1)
+            li = jnp.stack([l0, l1, l2], axis=-1)
+            beta = jnp.stack([b0, b1, b2], axis=-1)
+            specular = spec_i.astype(bool)
+            alive = alive_i.astype(bool)
+
         # rays this bounce: 1 closest + NEE shadow on non-delta lanes
         nee_lanes = jnp.sum((alive & not_delta).astype(jnp.int32))
         rays = n_alive_in + nee_lanes
-        return (ro, rd, li, beta, specular, alive, prev_pdf), rays
+        return (ro, rd, li, beta, specular, alive, prev_pdf, lane_id), rays
 
-    carry = (ro, rd, li, beta, specular, alive, prev_pdf)
+    carry = (ro, rd, li, beta, specular, alive, prev_pdf, lane_id)
     carry, rays_per_bounce = jax.lax.scan(
         bounce, carry, jnp.arange(static.max_depth))
-    ro, rd, li, beta, specular, alive, prev_pdf = carry
+    ro, rd, li, beta, specular, alive, prev_pdf, lane_id = carry
 
     # epilogue: the last bounce's continuation ray still owes its
     # emitter/env credit (the reference's BSDF-side branch at the final
@@ -175,6 +221,13 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
         scene, static, hit, ro, rd, li, beta, specular, prev_pdf,
         alive, jnp.zeros(n, bool))
     tail_rays = jnp.sum(alive.astype(jnp.int32))
+
+    # restore pixel order after the coherence shuffles (another sort
+    # network keyed by lane id — no scatter)
+    if do_sort:
+        (_, l0, l1, l2) = jax.lax.sort(
+            (lane_id, li[:, 0], li[:, 1], li[:, 2]), num_keys=1)
+        li = jnp.stack([l0, l1, l2], axis=-1)
 
     # NaN/Inf guard (pathtracer.cu:1019-1020); unlike the reference (which
     # keeps the previous frame's value) we zero poisoned lanes.
