@@ -51,21 +51,29 @@ def main():
     @jax.jit
     def step(scene, it):
         key = iteration_key(0, it)
+        return pt.render_lanes(scene, static, key, px, py)
+
+    @jax.jit
+    def step_stats(scene, it):
+        key = iteration_key(0, it)
         return pt.render_lanes(scene, static, key, px, py, with_stats=True)
 
-    # warmup (compile)
+    # warmup (compile) + measure rays/iteration once — the per-bounce
+    # count reductions cost ~20% of an iteration, so the timed loop runs
+    # the stats-free program
+    rays_iter = 0
     for i in range(WARMUP):
-        li, rays = step(dev, jnp.int32(i + 1))
+        li, rays = step_stats(dev, jnp.int32(i + 1))
+        rays_iter = int(rays)
+    li = step(dev, jnp.int32(0))
     li.block_until_ready()
 
     t0 = time.time()
-    ray_counts = []
     for i in range(ITERS):
-        li, rays = step(dev, jnp.int32(100 + i))
-        ray_counts.append(rays)  # don't sync inside the timed loop
+        li = step(dev, jnp.int32(100 + i))
     li.block_until_ready()
     dt = time.time() - t0
-    total_rays = sum(int(r) for r in ray_counts)
+    total_rays = rays_iter * ITERS
 
     mrays = total_rays / dt / 1e6
     spp_s = ITERS / dt
