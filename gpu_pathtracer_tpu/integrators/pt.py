@@ -104,6 +104,12 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
     (closest-hit + any-hit across all bounces) for throughput metrics.
     """
     from gpu_pathtracer_tpu.geom.dense import DENSE_MAX
+    from gpu_pathtracer_tpu.integrators import pt_fused
+    if jax.default_backend() == "tpu" and pt_fused.supports(static):
+        # whole-path megakernel: one Pallas call per iteration instead of
+        # ~50 HBM-bound XLA fusions per bounce (see pt_fused docstring)
+        return pt_fused.render_lanes(scene, static, key, pixel_x, pixel_y,
+                                     with_stats)
     n = pixel_x.shape[0]
     rng0 = RngStream(key)
     ro, rd = primary_rays(scene, static, rng0, pixel_x, pixel_y)

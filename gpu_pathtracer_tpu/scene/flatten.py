@@ -165,6 +165,10 @@ class DeviceScene:
     # prim_attrs [P, 40]: v0 v1 v2 | n0 n1 n2 | uv0 uv1 uv2 | dpdv |
     #   radius0 radius1 | type mat light bssrdf med_in med_out | pad
     prim_attrs: jnp.ndarray
+    # compact shading-attribute table for the fused megakernel
+    # (integrators/pt_fused.py), row-aligned with dense_prims:
+    # [Pp, 16]: n0(3) n1(3) n2(3) dpdv(3) mat light type pad
+    fused_attrs: jnp.ndarray
     # mat_attrs [M, 24]: type aU aV iIOR oIOR | k | eta | diffuse |
     #   specular | tex_idx | pad
     mat_attrs: jnp.ndarray
@@ -537,9 +541,12 @@ def flatten_scene(scene: HostScene, cache: bool = True
         focal=jnp.float32(cam.focalDistance),
     )
 
-    # dense-intersection table (padded so the Pallas kernel's prim loop
-    # covers full sublane groups; type -1 rows never match)
-    Pp = (P + 7) // 8 * 8
+    # dense-intersection table (type -1 pad rows never match). Dense-
+    # regime scenes pad to sublane groups; larger scenes pad to a whole
+    # number of 64-prim culling blocks so the blocked kernels' inner
+    # loops never read past the table.
+    from gpu_pathtracer_tpu.geom.dense import DENSE_MAX
+    Pp = (P + 7) // 8 * 8 if P <= DENSE_MAX else (P + 63) // 64 * 64
     dense_prims = np.zeros((Pp, 16), np.float32)
     dense_prims[P:, 9] = -1.0
     is_tri_col = (prim_type == int(GeometryType.TRIANGLE))[:, None]
@@ -623,6 +630,16 @@ def flatten_scene(scene: HostScene, cache: bool = True
     prim_attrs[:, 33] = medium_inside
     prim_attrs[:, 34] = medium_outside
 
+    fused_attrs = np.zeros((Pp, 16), np.float32)
+    fused_attrs[:P, 0:3] = n0
+    fused_attrs[:P, 3:6] = n1
+    fused_attrs[:P, 6:9] = n2
+    fused_attrs[:P, 9:12] = dpdv
+    fused_attrs[:P, 12] = mat_idx
+    fused_attrs[:P, 13] = light_idx
+    fused_attrs[:P, 14] = prim_type
+    fused_attrs[P:, 12:14] = -1.0
+
     mat_attrs = np.zeros((M, 24), np.float32)
     mat_attrs[:, 0] = m_type
     mat_attrs[:, 1] = m_alpha_u
@@ -644,6 +661,12 @@ def flatten_scene(scene: HostScene, cache: bool = True
     light_attrs[:, 15:18] = l_n2
     light_attrs[:, 18:21] = l_rad
     light_attrs[:, 21] = l_med
+    # fused-kernel extras: triangle area (col 22) and light-pick
+    # probability cdf[i+1]-cdf[i] (col 23), so the megakernel decodes
+    # them with the same per-light select loop as the geometry
+    light_attrs[:, 22] = 0.5 * np.linalg.norm(
+        np.cross(l_v1 - l_v0, l_v2 - l_v0), axis=-1)
+    light_attrs[:, 23] = (cdf[1:L + 1] - cdf[0:L]).astype(np.float32)
 
     dev = DeviceScene(
         node_bbox_min=jnp.asarray(bvh.bbox_min),
@@ -706,6 +729,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
         node_packed=jnp.asarray(node_packed),
         leaf_prims=jnp.asarray(leaf_prims),
         prim_attrs=jnp.asarray(prim_attrs),
+        fused_attrs=jnp.asarray(fused_attrs),
         mat_attrs=jnp.asarray(mat_attrs),
         light_attrs=jnp.asarray(light_attrs),
         camera=device_camera,
