@@ -30,6 +30,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from gpu_pathtracer_tpu.run.renderer import enable_compile_cache
+    enable_compile_cache()  # timings exclude compile (warmup), cache
+    # just makes repeated bench runs start fast
+
     from gpu_pathtracer_tpu.core.rng import iteration_key
     from gpu_pathtracer_tpu.integrators import pt
     from gpu_pathtracer_tpu.scene.flatten import flatten_scene

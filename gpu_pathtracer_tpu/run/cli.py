@@ -10,7 +10,7 @@ import argparse
 import time
 
 from gpu_pathtracer_tpu.film.imageio import save_exr, save_png
-from gpu_pathtracer_tpu.run.renderer import Renderer
+from gpu_pathtracer_tpu.run.renderer import Renderer, enable_compile_cache
 
 
 def main(argv=None):
@@ -32,7 +32,12 @@ def main(argv=None):
     ap.add_argument("--checkpoint-every", type=int, default=64)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the render loop")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="skip the persistent XLA compilation cache")
     args = ap.parse_args(argv)
+
+    if not args.no_compile_cache:
+        enable_compile_cache()
 
     integrator = None
     if args.integrator:

@@ -27,6 +27,23 @@ from gpu_pathtracer_tpu.scene.parse import load_scene
 DEFAULT_TILE = 1 << 20
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    XLA/Mosaic compiles of the render programs cost minutes on TPU (and
+    are wildly variable through a shared compile service); the cache
+    makes every run after the first start in seconds. The analog of the
+    reference's bvh.cache disk cache (bvh.cpp:189-218), but for compiled
+    programs instead of the accelerator tree."""
+    import os
+    if path is None:
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "gpu_pathtracer_tpu", "jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def lane_program(integrator: IntegratorType):
     """Integrator dispatch (pathtracer.cu:2711-2745).
 
