@@ -285,9 +285,19 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
         return (ro, rd, li, beta, specular, alive, depth, med, prev_pdf,
                 from_surf), None
 
+    def gated_step(carry, it):
+        # whole-step skip once every path has terminated: with RR after
+        # depth 4 most lanes die well before maxDepth+INTERFACE_BUDGET,
+        # and a full step (traversal + tracking + NEE) is expensive
+        return jax.lax.cond(
+            jnp.any(carry[5]),
+            lambda c: step(c, it)[0],
+            lambda c: c,
+            carry), None
+
     carry = (ro, rd, li, beta, specular, alive, depth, med, prev_pdf,
              from_surf)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_iters))
+    carry, _ = jax.lax.scan(gated_step, carry, jnp.arange(n_iters))
     li = carry[2]
 
     bad = jnp.any(~jnp.isfinite(li), axis=-1)

@@ -21,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 TILE = 8192
-MAX_GROUPS = 32  # tables up to 4096 entries
+MAX_GROUPS = 256  # tables up to 32768 entries (cost is O(groups))
 
 
 def _kernel(tab_ref, idx_ref, out_ref, *, n_groups):

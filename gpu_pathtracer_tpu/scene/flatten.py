@@ -259,13 +259,29 @@ def _oct_pack(med_density: np.ndarray) -> np.ndarray:
     return oct_
 
 
-SV = 8  # supervoxel grid resolution per axis
+SV = 24  # supervoxel grid resolution per axis. Tightness matters: on the
+# cornell smoke grid the mean 2x2x2-dilated segment majorant is 0.42 at
+# SV=8 vs 0.19 at SV=24 (true mean density 0.046) — tracking candidate
+# counts, and with them the dominant density-gather volume, scale with it.
+
+
+def _sv_res(n_media: int) -> int:
+    """Largest supervoxel resolution whose oct-packed majorant table fits
+    the pallas small-table lookup (ops/small_gather.py MAX_GROUPS*128
+    entries across all media). media.NSEG = ceil(sqrt(3)*SV_max) remains
+    a valid segment count for any smaller resolution."""
+    cap = 256 * 128
+    sv = SV
+    while n_media * (sv + 1) ** 3 > cap and sv > 2:
+        sv -= 1
+    return sv
 
 
 def _sv_majorants(med_density: np.ndarray, med_n: np.ndarray) -> np.ndarray:
     """[K,Dz,Dy,Dx] -> [K,SV,SV,SV] local majorants: max density over each
     supervoxel's region dilated by one fine cell (trilinear support)."""
     K = med_density.shape[0]
+    SV = _sv_res(K)
     out = np.zeros((K, SV, SV, SV), np.float32)
     for k in range(K):
         nx, ny, nz = int(med_n[k][0]), int(med_n[k][1]), int(med_n[k][2])

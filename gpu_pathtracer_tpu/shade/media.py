@@ -150,9 +150,12 @@ def _density_oct(scene, med_idx, med_n, pos_norm):
     return d0 * (1 - fz) + d1 * fz
 
 
-NSEG = 14         # fixed ray segments: ceil(sqrt(3) * SV), each no longer
+NSEG = 42         # fixed ray segments: ceil(sqrt(3) * SV), each no longer
                   # than a supervoxel, so its majorant is a 2x2x2-cell max
-KSEG = 16         # candidates evaluated per chunk iteration
+KSEG = 32         # candidates evaluated per chunk iteration (32, not 16:
+                  # the chunk count is driven by the heaviest lane, and
+                  # each chunk iteration pays fixed gather-op costs —
+                  # fewer, wider chunks measured faster on v5e)
 SEG_COUNT_CAP = 64
 
 
@@ -322,14 +325,127 @@ def medium_sample(scene, static, med_idx, ro, rd, tmax, key, active):
     return weight, t, sampled
 
 
+def _compact_partition(need):
+    """Stable-partition permutation (active lanes first) via cumsums.
+
+    The chunked density loops then run on cond-gated PREFIX SLICES sized
+    to the actual active count instead of the whole wavefront — in real
+    renders only 1-10% of lanes are inside a heterogeneous medium at any
+    bounce, so this is where the order-of-magnitude win lives.
+
+    Deliberately NOT a lax.sort: XLA:TPU compile time for multi-operand
+    sorts explodes with operand count (measured on v5e: 2 operands 15 s,
+    17 operands 164 s, 41 operands >25 min). Two cumsums + one i32
+    scatter compile instantly and run in ~1 ms at 262k lanes; the
+    payload moves via per-slice ROW gathers of a packed [N, C] matrix
+    (row gathers run ~140M rows/s — it is per-element gathers that are
+    slow on TPU).
+
+    Returns (src, need_count): src[p] = source lane for compacted
+    position p.
+    """
+    n = need.shape[0]
+    ni = need.astype(jnp.int32)
+    need_count = jnp.sum(ni)
+    pos_active = _cumsum_lanes(ni) - 1
+    # cumsum(1-ni)-1 == i - cumsum(ni) == i - (pos_active + 1)
+    pos_rest = need_count + (jnp.arange(n, dtype=jnp.int32)
+                             - pos_active - 1)
+    dest = jnp.where(need, pos_active, pos_rest)
+    src = jnp.zeros(n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    return src, need_count
+
+
+def _cumsum_lanes(x):
+    """Inclusive cumsum of an i32 [N] via a [rows, 128] two-level pass —
+    XLA's 1-D lax.cumsum lowers to a serialized form on TPU (~80 ms at
+    262k); the reshape form is pure vector work."""
+    n = x.shape[0]
+    if n % 128:
+        return jnp.cumsum(x)
+    m = x.reshape(-1, 128)
+    within = jnp.cumsum(m, axis=1)
+    rows = jnp.cumsum(within[:, -1])
+    return (within + (rows - within[:, -1])[:, None]).reshape(-1)
+
+
+def _prefix_slices(n):
+    """Prefix-slice sizes [n/8, rest]: the small slice covers the common
+    case (a few % of lanes inside a medium) at 1/8 the batch cost; the
+    rest-slice only runs when the active prefix overflows. Two slices,
+    not a geometric ladder — every extra slice instantiates another
+    while_loop body and XLA:TPU compile time for this program is already
+    minutes."""
+    s = [n // 8]
+    s.append(n - sum(s))
+    return [x for x in s if x > 0]
+
+
 def _sample_tracking(scene, med, ro_h, rd, tmax_h, key, is_het):
-    """Chunked first-collision walk (see medium_sample)."""
+    """Chunked first-collision walk (see medium_sample), compacted:
+    active lanes are partitioned to a prefix and EVERYTHING that scales
+    with lane count — supervoxel majorants, Poisson candidate counts, and
+    the chunked density loop — runs per cond-gated prefix slice, so idle
+    lanes cost nothing."""
     n = ro_h.shape[0]
-    maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
     kkey = jax.random.fold_in(key, 77)
-    counts, ccum, seg_len = _segment_counts(
-        scene, med, ro_h, rd, tmax_h, maj, kkey, is_het)
-    total = ccum[:, -1]
+
+    if jax.default_backend() != "tpu":
+        # CPU/GPU gathers are vectorized; compaction only pays on TPU
+        maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
+        counts, ccum, seg_len = _segment_counts(
+            scene, med, ro_h, rd, tmax_h, maj, kkey, is_het)
+        total = ccum[:, -1]
+        need = is_het & (total > 0)
+        found_t = _sample_chunk_loop(
+            scene, med, ro_h, rd, seg_len,
+            jnp.where(need, total, 0), ccum, maj,
+            jax.random.fold_in(kkey, 1000))
+        return jnp.where(need, found_t, jnp.inf)
+
+    # packed per-lane columns: ro(3) rd(3) tmax med_idx — the partition
+    # key needs nothing random, so counts/majorants move into the slices
+    need = is_het & (tmax_h > 0.0)
+    packed = jnp.concatenate(
+        [ro_h, rd, tmax_h[:, None],
+         med["idx"].astype(jnp.float32)[:, None]], axis=1)
+    src, need_count = _compact_partition(need)
+
+    found_t = jnp.full(n, jnp.inf)
+    start = 0
+    for slice_i, size in enumerate(_prefix_slices(n)):
+        sel = src[start:start + size]
+
+        def run(_, sel=sel, slice_i=slice_i, size=size):
+            sp = jnp.take(packed, sel, axis=0)
+            s_ro = sp[:, 0:3]
+            s_rd = sp[:, 3:6]
+            s_tmax = sp[:, 6]
+            s_med = gather_medium(scene, sp[:, 7].astype(jnp.int32))
+            s_maj = _segment_majorants(scene, s_med, s_ro, s_rd, s_tmax)
+            _, s_ccum, s_seg_len = _segment_counts(
+                scene, s_med, s_ro, s_rd, s_tmax, s_maj,
+                jax.random.fold_in(kkey, 3000 + slice_i),
+                jnp.ones(size, bool))
+            return _sample_chunk_loop(
+                scene, s_med, s_ro, s_rd, s_seg_len, s_ccum[:, -1],
+                s_ccum, s_maj, jax.random.fold_in(kkey, 1000 + slice_i))
+
+        # slices beyond the active prefix skip entirely
+        part = jax.lax.cond(
+            need_count > start, run,
+            lambda _, size=size: jnp.full(size, jnp.inf), None)
+        found_t = found_t.at[sel].set(part, unique_indices=True)
+        start += size
+
+    return jnp.where(need, found_t, jnp.inf)
+
+
+def _sample_chunk_loop(scene, med, ro_h, rd, seg_len, total, ccum, maj,
+                       kkey):
+    """The first-collision chunk loop over one compacted slice."""
+    n = ro_h.shape[0]
     max_chunks = (NSEG * SEG_COUNT_CAP) // KSEG
 
     def cond(state):
@@ -356,7 +472,7 @@ def _sample_tracking(scene, med, ro_h, rd, tmax_h, key, is_het):
         past = found_t <= next_seg.astype(jnp.float32) * seg_len
         return chunk_i + 1, found_t, done | exhausted | past
 
-    done0 = ~is_het | (total == 0)
+    done0 = total == 0
     _, found_t, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), jnp.full(n, jnp.inf),
                      done0))
@@ -415,15 +531,71 @@ def medium_tr_segment(scene, static, med_idx, ro, rd, tmax, key, active):
 
 def _tr_tracking(scene, med, ro_h, rd, tmax_h, ce, max_density, ett, key,
                  is_het):
-    """Chunked transmittance walk (see medium_tr_segment)."""
+    """Chunked transmittance walk (see medium_tr_segment), compacted the
+    same way as _sample_tracking: cond-gated prefix slices."""
     n = ro_h.shape[0]
-    maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
-    rate = jnp.where((ett == 2)[:, None],
-                     jnp.maximum(maj, ce[:, None]), maj)
     kkey = jax.random.fold_in(key, 88)
-    counts, ccum, seg_len = _segment_counts(
-        scene, med, ro_h, rd, tmax_h, rate, kkey, is_het)
-    total = ccum[:, -1]
+
+    if jax.default_backend() != "tpu":
+        maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
+        rate = jnp.where((ett == 2)[:, None],
+                         jnp.maximum(maj, ce[:, None]), maj)
+        counts, ccum, seg_len = _segment_counts(
+            scene, med, ro_h, rd, tmax_h, rate, kkey, is_het)
+        total = ccum[:, -1]
+        need = is_het & (total > 0)
+        tr_d = _tr_chunk_loop(
+            scene, med, ro_h, rd, seg_len,
+            jnp.where(need, total, 0), ccum, maj, rate,
+            ce, ett, jax.random.fold_in(kkey, 2000))
+        return jnp.where(need, tr_d, 1.0)
+
+    # see _sample_tracking: majorants/counts computed per prefix slice
+    need = is_het & (tmax_h > 0.0)
+    packed = jnp.concatenate(
+        [ro_h, rd, tmax_h[:, None],
+         med["idx"].astype(jnp.float32)[:, None]], axis=1)
+    src, need_count = _compact_partition(need)
+
+    tr_d = jnp.ones(n)
+    start = 0
+    for slice_i, size in enumerate(_prefix_slices(n)):
+        sel = src[start:start + size]
+
+        def run(_, sel=sel, slice_i=slice_i, size=size):
+            sp = jnp.take(packed, sel, axis=0)
+            s_ro = sp[:, 0:3]
+            s_rd = sp[:, 3:6]
+            s_tmax = sp[:, 6]
+            s_med = gather_medium(scene, sp[:, 7].astype(jnp.int32))
+            s_maj = _segment_majorants(scene, s_med, s_ro, s_rd, s_tmax)
+            s_maxd = 1.0 / jnp.maximum(s_med["inv_max_density"], 1e-30)
+            s_ce = 0.5 * s_maxd
+            s_ett = s_med["ett"]
+            s_rate = jnp.where((s_ett == 2)[:, None],
+                               jnp.maximum(s_maj, s_ce[:, None]), s_maj)
+            _, s_ccum, s_seg_len = _segment_counts(
+                scene, s_med, s_ro, s_rd, s_tmax, s_rate,
+                jax.random.fold_in(kkey, 4000 + slice_i),
+                jnp.ones(size, bool))
+            return _tr_chunk_loop(
+                scene, s_med, s_ro, s_rd, s_seg_len, s_ccum[:, -1],
+                s_ccum, s_maj, s_rate, s_ce, s_ett,
+                jax.random.fold_in(kkey, 2000 + slice_i))
+
+        part = jax.lax.cond(
+            need_count > start, run,
+            lambda _, size=size: jnp.ones(size), None)
+        tr_d = tr_d.at[sel].set(part, unique_indices=True)
+        start += size
+
+    return jnp.where(need, tr_d, 1.0)
+
+
+def _tr_chunk_loop(scene, med, ro_h, rd, seg_len, total, ccum, maj, rate,
+                   ce, ett, kkey):
+    """The transmittance chunk loop over one compacted slice."""
+    n = ro_h.shape[0]
     max_chunks = (NSEG * SEG_COUNT_CAP) // KSEG
 
     def cond(state):
@@ -471,7 +643,7 @@ def _tr_tracking(scene, med, ro_h, rd, tmax_h, ce, max_density, ett, key,
         tr_run = jnp.where(done, tr_run, tr_new)
         return chunk_i + 1, tr_run, done_new
 
-    done0 = ~is_het | (total == 0)
+    done0 = total == 0
     _, tr_d, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), jnp.ones(n), done0))
     return tr_d
@@ -483,7 +655,49 @@ def transmittance(scene, static, med_idx, ro, rd, tmax, key, active):
     Walks up to TR_MAX_SEGMENTS segments: any hit with a real material
     blocks (tr = 0); material-less hits switch the medium by crossing side
     and continue. Returns tr [N, 3].
+
+    On TPU the whole walker (traversal included) runs on compacted
+    prefix slices: medium-NEE shadow rays come from the few lanes that
+    scattered in a medium, so the full-batch walk wasted >90% of its
+    traversal and tracking work.
     """
+    n = ro.shape[0]
+    if jax.default_backend() == "tpu":
+        need = active & (tmax > 0.0)
+        packed = jnp.concatenate(
+            [ro, rd, tmax[:, None],
+             med_idx.astype(jnp.float32)[:, None]], axis=1)
+        src, need_count = _compact_partition(need)
+
+        tr = jnp.ones((n, 3), jnp.float32)
+        start = 0
+        for slice_i, size in enumerate(_prefix_slices(n)):
+            sel = src[start:start + size]
+
+            def run(_, sel=sel, slice_i=slice_i, size=size, start=start):
+                sp = jnp.take(packed, sel, axis=0)
+                # positions past the active prefix are idle lanes whose
+                # ray data may be garbage — keep them masked
+                act = (start + jnp.arange(size)) < need_count
+                return _transmittance_walk(
+                    scene, static, sp[:, 7].astype(jnp.int32),
+                    sp[:, 0:3], sp[:, 3:6], sp[:, 6],
+                    jax.random.fold_in(key, 5000 + slice_i), act)
+
+            part = jax.lax.cond(
+                need_count > start, run,
+                lambda _, size=size: jnp.ones((size, 3), jnp.float32),
+                None)
+            tr = tr.at[sel].set(part, unique_indices=True)
+            start += size
+        return jnp.where(need[:, None], tr, 1.0)
+
+    return _transmittance_walk(scene, static, med_idx, ro, rd, tmax, key,
+                               active)
+
+
+def _transmittance_walk(scene, static, med_idx, ro, rd, tmax, key, active):
+    """The interface-crossing walk itself (one batch, no compaction)."""
     from gpu_pathtracer_tpu.geom import traverse
 
     n = ro.shape[0]
@@ -522,17 +736,22 @@ def transmittance(scene, static, med_idx, ro, rd, tmax, key, active):
         cur_o = jnp.where(walking[:, None], hit.pos, cur_o)
         return tr, cur_o, cur_med, remaining, walking
 
-    state = (tr, ro, med_idx, tmax, active)
-    state = segment(0, state)
-    for seg in range(1, TR_MAX_SEGMENTS):
-        # most shadow rays cross <= 2 interfaces; skip whole segments at
-        # runtime once every lane has finished walking
-        tr, cur_o, cur_med, remaining, walking = state
+    # lax.scan over segments, NOT a Python unroll: the body (traversal +
+    # tracking loops) compiles ONCE instead of TR_MAX_SEGMENTS times —
+    # the unrolled form multiplied XLA/Mosaic compile time unacceptably.
+    # Most shadow rays cross <= 2 interfaces; the cond skips the body at
+    # runtime once every lane has finished walking.
+    def scan_step(state, seg):
         state = jax.lax.cond(
-            jnp.any(walking),
-            lambda s, seg=seg: segment(seg, s),
+            jnp.any(state[4]),
+            lambda s: segment(seg, s),
             lambda s: s,
             state)
+        return state, None
+
+    state = (tr, ro, med_idx, tmax, active)
+    state, _ = jax.lax.scan(scan_step, state,
+                            jnp.arange(TR_MAX_SEGMENTS, dtype=jnp.int32))
     return state[0]
 
 
