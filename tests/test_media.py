@@ -105,3 +105,39 @@ def test_hg_phase_normalization():
     vals = np.asarray(hg_phase(jnp.asarray(mu, jnp.float32), g))
     integral = 2 * np.pi * np.trapezoid(vals, mu)
     assert abs(integral - 1.0) < 1e-3, integral
+
+
+def test_compact_partition_roundtrip():
+    """_compact_partition: stable partition, active lanes first."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpu_pathtracer_tpu.shade import media as M
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    need = jnp.asarray(rng.random(n) < 0.13)
+    src, count = M._compact_partition(need)
+    src_np = np.asarray(src)
+    need_np = np.asarray(need)
+    assert int(count) == need_np.sum()
+    # prefix positions hold exactly the active lanes, original order kept
+    active_lanes = np.nonzero(need_np)[0]
+    assert np.array_equal(src_np[:len(active_lanes)], active_lanes)
+    rest = np.nonzero(~need_np)[0]
+    assert np.array_equal(src_np[len(active_lanes):], rest)
+    # src is a permutation
+    assert np.array_equal(np.sort(src_np), np.arange(n))
+
+
+def test_cumsum_lanes_matches_cumsum():
+    import numpy as np
+    import jax.numpy as jnp
+    from gpu_pathtracer_tpu.shade import media as M
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 5, size=2048).astype(np.int32))
+    assert np.array_equal(np.asarray(M._cumsum_lanes(x)),
+                          np.cumsum(np.asarray(x)))
+    y = jnp.asarray(rng.integers(0, 5, size=100).astype(np.int32))  # n%128
+    assert np.array_equal(np.asarray(M._cumsum_lanes(y)),
+                          np.cumsum(np.asarray(y)))
