@@ -357,44 +357,88 @@ def photon_pass(scene, static, key, state: SppmState, grid, n_photons,
         CHUNK = 32
         lane_off = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
 
-        def cond(s):
-            j, phi, m = s
-            return jnp.any(start + j < end)
+        def bucket_walk(ppos0, prd0, pbeta0, start, end, phi, m):
+            """All VP pairs for one photon batch; deposits into phi/m."""
+            def cond(s):
+                j, phi, m = s
+                return jnp.any(start + j < end)
 
-        def body(s):
-            j, phi, m = s
-            idx = start[:, None] + j + lane_off          # [n, CHUNK]
-            lane_ok = idx < end[:, None]
-            entry = jnp.take(sorted_vp,
-                             jnp.clip(idx, 0, sorted_vp.shape[0] - 1))
-            vp = jnp.maximum(entry, 0)                   # [n, CHUNK]
-            flat = vp.reshape(-1)
-            vpos = jnp.take(state.pos, flat, axis=0)
-            vnor = jnp.take(state.nor, flat, axis=0)
-            vdpdu = jnp.take(state.dpdu, flat, axis=0)
-            vuv = jnp.take(state.uv, flat, axis=0)
-            vdir = jnp.take(state.dir, flat, axis=0)
-            vrad = jnp.take(state.radius, flat)
-            vvalid = jnp.take(state.valid, flat)
-            ppos = jnp.repeat(hit.pos, CHUNK, axis=0)
-            prd = jnp.repeat(rd, CHUNK, axis=0)
-            pbeta = jnp.repeat(beta, CHUNK, axis=0)
-            d = ppos - vpos
-            near = dot(d, d) <= vrad * vrad
-            vmat = bsdf_mod.gather_materials(
-                scene, static, jnp.take(state.mat_idx, flat), vuv)
-            fr, _ = bsdf_mod.eval_bsdf(
-                vmat, vdir, -prd, vnor, vdpdu, static.material_types)
-            fr_ok = ~is_black(fr) & jnp.all(jnp.isfinite(fr), axis=-1)
-            take = lane_ok.reshape(-1) & vvalid & near & fr_ok
-            contrib = jnp.where(take[:, None], fr * pbeta, 0.0)
-            tgt = jnp.where(take, flat, n_vp - 1)
-            phi = phi.at[tgt].add(contrib)
-            m = m.at[tgt].add(jnp.where(take, 1.0, 0.0))
-            return j + CHUNK, phi, m
+            def body(s):
+                j, phi, m = s
+                idx = start[:, None] + j + lane_off      # [k, CHUNK]
+                lane_ok = idx < end[:, None]
+                entry = jnp.take(sorted_vp,
+                                 jnp.clip(idx, 0, sorted_vp.shape[0] - 1))
+                vp = jnp.maximum(entry, 0)               # [k, CHUNK]
+                flat = vp.reshape(-1)
+                vpos = jnp.take(state.pos, flat, axis=0)
+                vnor = jnp.take(state.nor, flat, axis=0)
+                vdpdu = jnp.take(state.dpdu, flat, axis=0)
+                vuv = jnp.take(state.uv, flat, axis=0)
+                vdir = jnp.take(state.dir, flat, axis=0)
+                vrad = jnp.take(state.radius, flat)
+                vvalid = jnp.take(state.valid, flat)
+                ppos = jnp.repeat(ppos0, CHUNK, axis=0)
+                prd = jnp.repeat(prd0, CHUNK, axis=0)
+                pbeta = jnp.repeat(pbeta0, CHUNK, axis=0)
+                d = ppos - vpos
+                near = dot(d, d) <= vrad * vrad
+                vmat = bsdf_mod.gather_materials(
+                    scene, static, jnp.take(state.mat_idx, flat), vuv)
+                fr, _ = bsdf_mod.eval_bsdf(
+                    vmat, vdir, -prd, vnor, vdpdu, static.material_types)
+                fr_ok = ~is_black(fr) & jnp.all(jnp.isfinite(fr), axis=-1)
+                take = lane_ok.reshape(-1) & vvalid & near & fr_ok
+                contrib = jnp.where(take[:, None], fr * pbeta, 0.0)
+                tgt = jnp.where(take, flat, n_vp - 1)
+                phi = phi.at[tgt].add(contrib)
+                m = m.at[tgt].add(jnp.where(take, 1.0, 0.0))
+                return j + CHUNK, phi, m
 
-        _, phi, m = jax.lax.while_loop(cond, body,
-                                       (jnp.zeros((), jnp.int32), phi, m))
+            _, phi, m = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), phi, m))
+            return phi, m
+
+        if jax.default_backend() != "tpu":
+            phi, m = bucket_walk(hit.pos, rd, beta, start, end, phi, m)
+        else:
+            # Photon compaction: the lockstep walk is bounded by the
+            # LARGEST bucket while every photon burns CHUNK lanes per
+            # step — on the watchdog-limited TPU the full-batch form was
+            # minutes per pass (device timeout). Sort photons by bucket
+            # length (2-operand argsort — wider sorts explode XLA:TPU
+            # compile time) and run the walk on cond-gated prefix
+            # slices: the deep walk happens on n/8 lanes, the rest exit
+            # in a few steps. Deposits are VP-indexed scatter-adds, so
+            # photon order never matters and no un-permute is needed.
+            blen = jnp.maximum(end - start, 0)
+            order = jnp.argsort(-blen)
+            packed = jnp.concatenate(
+                [hit.pos, rd, beta,
+                 start.astype(jnp.float32)[:, None],
+                 end.astype(jnp.float32)[:, None],
+                 jnp.zeros((n, 21), jnp.float32)], axis=1)  # pad to 32:
+            # row-gather throughput is layout-capricious (x16 slow,
+            # x32 fast — see CLAUDE.md)
+            nonzero = jnp.sum((blen > 0).astype(jnp.int32))
+            sizes = [n // 8]
+            sizes.append(n - sizes[0])
+            s0 = 0
+            for size in sizes:
+                if size <= 0:
+                    continue
+                sel = jax.lax.dynamic_slice_in_dim(order, s0, size)
+
+                def run(pm, sel=sel):
+                    sp = jnp.take(packed, sel, axis=0)
+                    return bucket_walk(
+                        sp[:, 0:3], sp[:, 3:6], sp[:, 6:9],
+                        sp[:, 9].astype(jnp.int32),
+                        sp[:, 10].astype(jnp.int32), pm[0], pm[1])
+
+                phi, m = jax.lax.cond(nonzero > s0, run,
+                                      lambda pm: pm, (phi, m))
+                s0 += size
 
         # ---- scatter onward (Importance mode, cu:2264-2279) ------------
         mat = bsdf_mod.gather_materials(scene, static, hit.mat_idx, hit.uv)

@@ -34,6 +34,12 @@ def main(argv=None):
                     help="capture a jax.profiler trace of the render loop")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="skip the persistent XLA compilation cache")
+    ap.add_argument("--init-radius", type=float, default=None,
+                    help="SPPM initial gather radius (scene default 0.5; "
+                         "the reference default is far too large for "
+                         "unit-scale scenes — try ~2-4 pixel footprints)")
+    ap.add_argument("--photons", type=int, default=None,
+                    help="SPPM photons per iteration override")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -46,7 +52,9 @@ def main(argv=None):
 
     t0 = time.time()
     r = Renderer(args.scene, tile_size=args.tile, seed=args.seed,
-                 cache=not args.no_cache, integrator=integrator)
+                 cache=not args.no_cache, integrator=integrator,
+                 init_radius=args.init_radius,
+                 photons_per_iteration=args.photons)
     print(f"[scene] {r.static.n_primitives} prims, {r.static.n_nodes} BVH "
           f"nodes, {r.width}x{r.height}, integrator={r.static.integrator.name}"
           f" (built in {time.time() - t0:.2f}s)")
