@@ -73,10 +73,28 @@ def make_sharded_step(program, static, mesh: Mesh, n_lanes: int):
     return step, n_padded
 
 
-def psum_film(film, mesh: Mesh):
-    """Reduce sample-split films across devices (the LT/BDPT path):
-    deterministic tree reduction instead of the reference's atomicAdd
-    (pathtracer.cu:1320-1322)."""
-    return jax.jit(
-        lambda f: jnp.sum(f, axis=0),
-    )(film)
+def lane_spec(ndim: int) -> P:
+    """PartitionSpec splitting dim 0 over the lane axis."""
+    return P("lanes", *([None] * (ndim - 1)))
+
+
+def constrain_lanes(mesh: Mesh, x):
+    """Inside jit: pin dim 0 of x across the mesh (GSPMD constraint)."""
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, lane_spec(x.ndim)))
+
+
+def constrain_replicated(mesh: Mesh, x):
+    """Inside jit: pin x replicated — after a sharded film scatter this is
+    where XLA inserts the cross-device all-reduce (the deterministic
+    replacement for the reference's atomicAdd splatting,
+    pathtracer.cu:1320-1322)."""
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+
+
+def psum_film(mesh: Mesh, films):
+    """Reduce per-tile films [T, WH, 3] (tile axis device-sharded) to one
+    film [WH, 3]. Under GSPMD the sharded-axis sum lowers to local sums +
+    an ICI all-reduce — the actual cross-device film psum used by the
+    LT/BDPT/SPPM paths."""
+    return constrain_replicated(mesh, jnp.sum(films, axis=0))

@@ -40,6 +40,10 @@ def main(argv=None):
                          "unit-scale scenes — try ~2-4 pixel footprints)")
     ap.add_argument("--photons", type=int, default=None,
                     help="SPPM photons per iteration override")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard the render over all visible devices "
+                         "(jax.sharding.Mesh over the lane axis; no-op "
+                         "with a single device)")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -54,10 +58,14 @@ def main(argv=None):
     r = Renderer(args.scene, tile_size=args.tile, seed=args.seed,
                  cache=not args.no_cache, integrator=integrator,
                  init_radius=args.init_radius,
-                 photons_per_iteration=args.photons)
+                 photons_per_iteration=args.photons, shard=args.shard)
     print(f"[scene] {r.static.n_primitives} prims, {r.static.n_nodes} BVH "
           f"nodes, {r.width}x{r.height}, integrator={r.static.integrator.name}"
           f" (built in {time.time() - t0:.2f}s)")
+    if args.shard:
+        nd = r.mesh.devices.size if r.mesh is not None else 1
+        print(f"[shard] {nd} device(s)" +
+              ("" if r.mesh is not None else " — sharding disabled"))
 
     # HBM usage breakdown (the reference prints the same per-category
     # VRAM summary at startup, pathtracer.cu:2689-2694)

@@ -87,7 +87,8 @@ class Renderer:
                  integrator: IntegratorType | None = None,
                  max_depth: int | None = None,
                  photons_per_iteration: int | None = None,
-                 init_radius: float | None = None):
+                 init_radius: float | None = None,
+                 shard: bool = False, devices=None):
         if isinstance(scene, str):
             scene = load_scene(scene)
         self.host = scene
@@ -108,8 +109,33 @@ class Renderer:
         self.height = self.static.height
         self.seed = seed
         n = self.width * self.height
-        self.tile_size = min(tile_size, n)
+        self.kind, program = lane_program(self.static.integrator)
+
+        # multi-chip: lane axis sharded over a 1-D mesh (SURVEY.md §2
+        # SPMD checklist). The program stays the GLOBAL single-device
+        # computation — GSPMD splits it, so enabling sharding never
+        # changes the rendered image (bit-exact for pixel kinds; film
+        # splat kinds differ only in reduction order).
+        self.mesh = None
+        if shard:
+            devs = jax.devices() if devices is None else devices
+            if len(devs) > 1:
+                from gpu_pathtracer_tpu.parallel import dist
+                self.mesh = dist.lane_mesh(devs)
+                if self.kind == "film":
+                    # LT generates its lanes internally, so the TILE axis
+                    # is the sharded one: exactly one tile per device
+                    self.tile_size = dist.round_up(
+                        (n + len(devs) - 1) // len(devs), 8)
+                else:
+                    # lanes per tile must split evenly across devices
+                    self.tile_size = dist.round_up(
+                        min(tile_size, n), len(devs))
+        if self.mesh is None:
+            self.tile_size = min(tile_size, n)
         self.n_tiles = (n + self.tile_size - 1) // self.tile_size
+        if self.mesh is not None and self.kind == "film":
+            self.n_tiles = self.mesh.devices.size
 
         # pixel coordinates per tile (y=0 is the bottom row, like the
         # reference's GL-oriented film)
@@ -125,8 +151,33 @@ class Renderer:
         self.acc = jnp.zeros((n, 3), jnp.float32)
         self.iteration = 0
 
-        self.kind, program = lane_program(self.static.integrator)
         static = self.static
+
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from gpu_pathtracer_tpu.parallel import dist
+            # scene replicated on every chip; per-tile lane arrays split
+            # along the lane dim; the film kept replicated (it is the
+            # cross-device reduction target)
+            self.device_scene = dist.replicate(mesh, self.device_scene)
+            tile_sh = NamedSharding(mesh, P(None, "lanes"))
+            self._px = jax.device_put(self._px, tile_sh)
+            self._py = jax.device_put(self._py, tile_sh)
+            self._mask = jax.device_put(self._mask, tile_sh)
+            self.acc = jax.device_put(self.acc, NamedSharding(mesh, P()))
+
+            def c_lanes(x):
+                return dist.constrain_lanes(mesh, x)
+
+            def c_rep(x):
+                return dist.constrain_replicated(mesh, x)
+        else:
+            def c_lanes(x):
+                return x
+
+            def c_rep(x):
+                return x
 
         if self.kind == "sppm":
             # SPPM couples all pixels through the photon grid: runs
@@ -134,15 +185,36 @@ class Renderer:
             # its film is absolute, not accumulated (pathtracer.cu:
             # 2524-2527)
             from gpu_pathtracer_tpu.integrators import sppm as sppm_mod
-            self._sppm_state = sppm_mod.init_state(
-                n, self.static.init_radius)
             px = jnp.asarray(np.arange(n, dtype=np.int32) % self.width)
             py = jnp.asarray(np.arange(n, dtype=np.int32) // self.width)
+            shard_sppm = mesh is not None and n % mesh.devices.size == 0
+            if shard_sppm:
+                # pixel (visible-point) state and camera lanes shard over
+                # the mesh; the photon pass's lanes and the grid
+                # interaction pick up shardings from GSPMD propagation,
+                # with collectives at the sort/gather boundaries
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from gpu_pathtracer_tpu.parallel import dist as dist_mod
+                lane_sh = NamedSharding(mesh, P("lanes"))
+                px = jax.device_put(px, lane_sh)
+                py = jax.device_put(py, lane_sh)
+                self._place_sppm_state = lambda s: jax.tree_util.tree_map(
+                    lambda a: jax.device_put(
+                        a, NamedSharding(mesh, dist_mod.lane_spec(a.ndim))),
+                    s)
+            else:
+                self._place_sppm_state = lambda s: s
+            self._sppm_state = self._place_sppm_state(
+                sppm_mod.init_state(n, self.static.init_radius))
 
             @jax.jit
             def sppm_step(dscene, state, key, iteration):
-                return program(dscene, static, key, state, iteration,
-                               px, py)
+                state, film = program(dscene, static, key, state, iteration,
+                                      px, py)
+                if shard_sppm:
+                    state = jax.tree_util.tree_map(c_lanes, state)
+                    film = c_rep(film)
+                return state, film
 
             self._sppm_step = sppm_step
             return
@@ -168,14 +240,14 @@ class Renderer:
 
                 def tile(_, xs):
                     tkey, tpx, tpy, tmask = xs
-                    li = program(dscene, static, tkey, tpx, tpy, vpls,
-                                 vpl_slot)
+                    li = c_lanes(program(dscene, static, tkey, tpx, tpy,
+                                         vpls, vpl_slot))
                     return None, jnp.where(tmask[:, None], li, 0.0)
 
                 keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
                     jnp.arange(self.n_tiles))
                 _, tiles = jax.lax.scan(tile, None, (keys, px, py, mask))
-                return acc + tiles.reshape(-1, 3)[:n]
+                return c_rep(acc + tiles.reshape(-1, 3)[:n])
         elif self.kind == "pixel":
             px, py, mask = self._px, self._py, self._mask
 
@@ -185,13 +257,13 @@ class Renderer:
 
                 def tile(_, xs):
                     tkey, tpx, tpy, tmask = xs
-                    li = program(dscene, static, tkey, tpx, tpy)
+                    li = c_lanes(program(dscene, static, tkey, tpx, tpy))
                     return None, jnp.where(tmask[:, None], li, 0.0)
 
                 keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
                     jnp.arange(self.n_tiles))
                 _, tiles = jax.lax.scan(tile, None, (keys, px, py, mask))
-                return acc + tiles.reshape(-1, 3)[:n]
+                return c_rep(acc + tiles.reshape(-1, 3)[:n])
         elif self.kind == "hybrid":
             # per-pixel strategies land on the lane's own pixel; s==1
             # splats land on a shared film (Bdpt, pathtracer.cu:1952-1967)
@@ -206,16 +278,36 @@ class Renderer:
                     tkey, tpx, tpy, tmask, tpix = xs
                     li, film = program(dscene, static, tkey, tpx, tpy,
                                        tmask)
-                    li = jnp.where(tmask[:, None], li, 0.0)
-                    img = img + film
-                    return img.at[tpix].add(li), None
+                    li = jnp.where(tmask[:, None], c_lanes(li), 0.0)
+                    # sharded-lane splats land on the replicated film:
+                    # GSPMD turns the scatter-add + constraint into local
+                    # scatters + an ICI all-reduce (atomicAdd replacement)
+                    img = c_rep(img + film)
+                    return c_rep(img.at[tpix].add(li)), None
 
                 keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
                     jnp.arange(self.n_tiles))
                 img, _ = jax.lax.scan(
                     tile, jnp.zeros((n, 3), jnp.float32),
                     (keys, px, py, mask, pix))
-                return acc + img
+                return c_rep(acc + img)
+        elif self.kind == "film" and mesh is not None:
+            # film-splat integrators, sharded: one tile of paths PER
+            # DEVICE (the tile axis is the mesh axis); summing the
+            # per-tile films is the cross-device film psum
+            from gpu_pathtracer_tpu.parallel import dist as dist_mod
+            norm = n / (self.n_tiles * self.tile_size)
+
+            @jax.jit
+            def step(dscene, acc, it):
+                key = iteration_key(self.seed, it)
+                keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+                    jnp.arange(self.n_tiles))
+                keys = dist_mod.constrain_lanes(mesh, keys)
+                films = jax.vmap(lambda tkey: program(
+                    dscene, static, tkey, self.tile_size))(keys)
+                img = dist_mod.psum_film(mesh, films)
+                return c_rep(acc + img * norm)
         else:
             # film-splat integrators (LT): each tile traces tile_size
             # paths returning a whole film; the reference uses exactly
@@ -273,8 +365,8 @@ class Renderer:
         self.iteration = 0
         if self.kind == "sppm":
             from gpu_pathtracer_tpu.integrators import sppm as sppm_mod
-            self._sppm_state = sppm_mod.init_state(
-                self.width * self.height, self.static.init_radius)
+            self._sppm_state = self._place_sppm_state(sppm_mod.init_state(
+                self.width * self.height, self.static.init_radius))
 
     def radiance(self) -> np.ndarray:
         """Mean radiance film [H, W, 3] (row 0 = bottom), pre-tonemap."""

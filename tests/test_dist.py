@@ -57,6 +57,59 @@ def test_multi_device_matches_single(small_scene):
     np.testing.assert_array_equal(a, b)
 
 
+def _renderer_pair(cornell_scene, integrator, iters=2, **kw):
+    """Render the same tiny scene unsharded and sharded over 8 devices
+    through the production Renderer; return both accumulation films."""
+    import copy
+    from gpu_pathtracer_tpu.run.renderer import Renderer
+    scene = copy.copy(cornell_scene)
+    scene.width = scene.height = 16
+    films = []
+    for shard in (False, True):
+        r = Renderer(scene, cache=False, integrator=integrator,
+                     max_depth=3, shard=shard,
+                     devices=jax.devices()[:8], **kw)
+        if shard:
+            assert r.mesh is not None, "mesh not built"
+        for _ in range(iters):
+            r.render_iteration()
+        films.append(np.asarray(r.acc))
+    return films
+
+
+def test_renderer_shard_pt_bit_equal(cornell_scene):
+    """pixel kind: GSPMD lane sharding is bit-exact vs single device."""
+    a, b = _renderer_pair(cornell_scene, IntegratorType.PT)
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_renderer_shard_lt(cornell_scene):
+    """film kind: per-device tiles + cross-device film psum. Path count
+    differs from the single-device tiling, so compare statistically."""
+    a, b = _renderer_pair(cornell_scene, IntegratorType.LT, iters=8)
+    assert np.isfinite(b).all()
+    assert b.sum() > 0
+    # same estimator, same normalization: totals agree to sampling noise
+    assert 0.5 < b.sum() / a.sum() < 2.0
+
+
+def test_renderer_shard_bdpt(cornell_scene):
+    """hybrid kind: sharded lanes + replicated splat film (all-reduce).
+    Same lanes, same keys — only the splat reduction order may differ."""
+    a, b = _renderer_pair(cornell_scene, IntegratorType.BDPT)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_renderer_shard_sppm(cornell_scene):
+    """sppm kind: sharded visible-point state + photon lanes."""
+    a, b = _renderer_pair(cornell_scene, IntegratorType.SPPM,
+                          photons_per_iteration=512, init_radius=0.25)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_replicated_scene_no_lane_dependence(small_scene):
     """The scene pytree must be placement-invariant: replicate() then a
     trivial reduction equals the host value."""
