@@ -1,21 +1,25 @@
-"""Packet-synchronous BVH traversal for large scenes.
+"""Packet-synchronous BVH8 traversal for large scenes.
 
 TPU has no efficient per-lane random access (XLA gathers run
 element-at-a-time), so the CUDA per-thread stack walk
 (pathtracer.cu:214-296) cannot be translated. Instead, rays are grouped
-into PACKETS of W lanes that traverse the tree TOGETHER with one shared
-stack per packet:
+into PACKETS of W lanes that traverse an 8-wide tree TOGETHER with one
+shared stack per packet:
 
-- node fetches are per-packet (G = N/W gathers per step instead of N),
-  amortizing the slow gather 128x;
-- box and primitive tests are dense [G, W(, LEAF)] VPU math;
-- a packet descends into a node when ANY of its rays hits the node box,
-  so divergent packets do some wasted ray-box math — cheap on the VPU,
-  and primary/shadow batches are coherent in pixel order.
+- ONE 128-float row gather per packet per step (geom/bvh8.py unified
+  table) delivers either 8 child boxes or 8 primitive records — row
+  gathers cost ~1.5-2 us at any width on v5e, so per-step cost is
+  dominated by op-dispatch latency and the fat row is effectively free;
+- box and primitive tests are dense [G, W, 8] VPU math;
+- a packet descends into a child when ANY of its rays hits its box, so
+  divergent packets do some wasted dense math — cheap on the VPU, and
+  primary/shadow batches are coherent in pixel order.
 
-This is the classic packet-tracing formulation (Wald et al.) mapped onto
-a vector machine: the divergence cost moves from memory (gathers) to
-compute (masked dense tests), which is exactly the trade TPU wants.
+This is the classic wide-BVH packet formulation (Wald et al.; CPU BVH8
+tracers) mapped onto a vector machine: the divergence cost moves from
+memory (gathers) to compute (masked dense tests), which is exactly the
+trade TPU wants, and the 8-wide fanout cuts the serial step count ~4x
+vs a binary walk.
 """
 
 from __future__ import annotations
@@ -23,10 +27,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gpu_pathtracer_tpu.geom.bvh import LEAF_SIZE
-
 PACKET = 128        # rays per packet (== TPU lane width)
-STACK_DEPTH = 64
+STACK_DEPTH = 96    # >= bvh8 depth * 7 + 8
+DONE = jnp.iinfo(jnp.int32).min
 
 
 def _pad_packets(x, n_pad):
@@ -36,23 +39,34 @@ def _pad_packets(x, n_pad):
     return x
 
 
-def _packet_slab(bb_min, bb_max, ro, inv_d, t_max):
-    """Slab test: boxes [G, 3] vs rays [G, W, 3]. Returns hit [G, W]."""
-    t1 = (bb_min[:, None, :] - ro) * inv_d
-    t2 = (bb_max[:, None, :] - ro) * inv_d
-    tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    return (tfar > 1e-5) & (tnear <= tfar) & (tnear <= t_max)
+def _slab8(cmin, cmax, ro, inv_d, t_max):
+    """Slab test: 8 child boxes [G, 8, 3] vs rays [G, W, 3].
+    Returns hit [G, W, 8]. Axis-decomposed: every temp is [G, W, 8]
+    (a 4-D [G, W, 8, 3] formulation triples the HBM traffic of the
+    unfused intermediates and dominates the step cost)."""
+    tnear = None
+    tfar = None
+    for a in range(3):
+        t1 = (cmin[:, None, :, a] - ro[:, :, None, a]) \
+            * inv_d[:, :, None, a]
+        t2 = (cmax[:, None, :, a] - ro[:, :, None, a]) \
+            * inv_d[:, :, None, a]
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        tnear = lo if tnear is None else jnp.maximum(tnear, lo)
+        tfar = hi if tfar is None else jnp.minimum(tfar, hi)
+    return (tfar > 1e-5) & (tnear <= tfar) & (tnear <= t_max[:, :, None])
 
 
-def _leaf_test(leaf, ro, rd, tmin, best_t, best_prim, static, live):
-    """Dense test of W rays against the leaf's LEAF_SIZE prim slots.
+def _leaf_test(leaf, ro, rd, tmin, best_t, best_prim, static, live,
+               n_slots=8):
+    """Dense test of W rays against the row's n_slots prim records.
 
-    leaf: [G, LEAF_SIZE*16] packed records; ro/rd [G, W, 3].
+    leaf: [G, n_slots*16] packed records; ro/rd [G, W, 3].
     """
     from gpu_pathtracer_tpu.scene.model import GeometryType
 
-    rec = leaf.reshape(leaf.shape[0], LEAF_SIZE, 16)
+    rec = leaf.reshape(leaf.shape[0], n_slots, 16)
     v0 = rec[:, :, 0:3][:, None]      # [G, 1, L, 3]
     a = rec[:, :, 3:6][:, None]
     b = rec[:, :, 6:9][:, None]
@@ -132,8 +146,8 @@ def _leaf_test(leaf, ro, rd, tmin, best_t, best_prim, static, live):
     t_masked = jnp.where(ok_all, t_all, jnp.inf)
     t_new = jnp.min(t_masked, axis=-1)
     j = jnp.argmin(t_masked, axis=-1)
-    # one-hot select over the static LEAF_SIZE axis (no gather)
-    sel = j[:, :, None] == jnp.arange(LEAF_SIZE)[None, None, :]
+    # one-hot select over the static slot axis (no gather)
+    sel = j[:, :, None] == jnp.arange(n_slots)[None, None, :]
     prim_new = jnp.sum(jnp.where(sel, pidx, 0.0), axis=-1).astype(jnp.int32)
     better = t_new < best_t
     best_t = jnp.where(better, t_new, best_t)
@@ -142,11 +156,12 @@ def _leaf_test(leaf, ro, rd, tmin, best_t, best_prim, static, live):
 
 
 def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool):
-    """Shared packet walk. ro/rd [N, 3]; returns (best_t, best_prim, found)
-    each [N]."""
+    """Shared packet walk over the BVH8 table. ro/rd [N, 3]; returns
+    (best_t, best_prim, found) each [N]."""
     n = ro.shape[0]
     g = (n + PACKET - 1) // PACKET
     n_pad = g * PACKET - n
+    table = scene.bvh8_table
 
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)
@@ -159,62 +174,60 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool):
         _pad_packets(tmax_b, n_pad), -1.0).reshape(g, PACKET)
     inv_d = 1.0 / rd_p
 
-    cur = jnp.zeros(g, jnp.int32)
+    cur = jnp.zeros(g, jnp.int32)  # root = node row 0
     sp = jnp.zeros(g, jnp.int32)
     stack = jnp.zeros((g, STACK_DEPTH), jnp.int32)
     best_t = tmax_p
     best_prim = jnp.full((g, PACKET), -1, jnp.int32)
+    live0 = tmax_p > 0.0
 
     def cond(state):
-        cur = state[0]
-        return jnp.any(cur >= 0)
+        return jnp.any(state[0] != DONE)
 
     def body(state):
         cur, sp, stack, best_t, best_prim = state
-        active = cur >= 0
-        node = jnp.where(active, cur, 0)
-        packed = jnp.take(scene.node_packed, node, axis=0)   # [G, 8]
-        bb_min = packed[:, 0:3]
-        bb_max = packed[:, 3:6]
-        sco = packed[:, 6].astype(jnp.int32)
-        is_leaf = sco < 0
+        active = cur != DONE
+        row = jnp.where(active, jnp.abs(cur), 0)
+        is_leaf = active & (cur < 0)
+        is_node = active & (cur >= 0)
+        rec = jnp.take(table, row, axis=0)               # [G, 128]
 
-        live = active[:, None] & (tmax_p > 0.0)
-        ray_hits = _packet_slab(bb_min, bb_max, ro_p, inv_d, best_t) & live
-        box_hit = active & jnp.any(ray_hits, axis=-1)
+        # ---- inner step: 8 child slab tests + pushes --------------------
+        recn = rec[:, :64].reshape(g, 8, 8)
+        cmin = recn[:, :, 0:3]
+        cmax = recn[:, :, 3:6]
+        meta = recn[:, :, 6].astype(jnp.int32)
+        ray_hits = _slab8(cmin, cmax, ro_p, inv_d, best_t) \
+            & live0[:, :, None]                          # [G, W, 8]
+        # meta == 0 marks an empty child slot (the root is never a child);
+        # its inverted bbox alone does NOT fail the slab test (-inf<=+inf)
+        child_hit = is_node[:, None] & (meta != 0) \
+            & jnp.any(ray_hits, axis=1)                  # [G, 8]
+        off = jnp.cumsum(child_hit, axis=1) - child_hit  # exclusive
+        slots = jnp.arange(STACK_DEPTH)[None, :]
+        for c in range(8):
+            pos = sp + off[:, c]
+            stack = jnp.where(
+                child_hit[:, c, None] & (slots == pos[:, None]),
+                meta[:, c, None], stack)
+        sp_after = sp + jnp.sum(child_hit, axis=1)
 
-        push = box_hit & ~is_leaf
-        stack = jnp.where(
-            push[:, None]
-            & (jnp.arange(STACK_DEPTH)[None, :] == sp[:, None]),
-            sco[:, None], stack)
-        sp_after = jnp.where(push, sp + 1, sp)
+        # ---- leaf step: 8 primitive tests -------------------------------
+        bt, bp = _leaf_test(rec, ro_p, rd_p, tmin_p, best_t, best_prim,
+                            static, is_leaf[:, None] & live0)
+        best_t = jnp.where(is_leaf[:, None], bt, best_t)
+        best_prim = jnp.where(is_leaf[:, None], bp, best_prim)
 
-        leaf_active = box_hit & is_leaf
-        leaf = jnp.take(scene.leaf_prims, jnp.where(leaf_active, node, 0),
-                        axis=0)
-        bt, bp = _leaf_test(leaf, ro_p, rd_p, tmin_p, best_t, best_prim,
-                            static, ray_hits & leaf_active[:, None])
-        best_t = jnp.where(leaf_active[:, None], bt, best_t)
-        best_prim = jnp.where(leaf_active[:, None], bp, best_prim)
-
-        need_pop = active & ~push
+        # ---- pop --------------------------------------------------------
         if any_hit:
             # a packet may stop once every live lane has a hit
-            all_found = jnp.all((best_prim >= 0) | ~live, axis=-1)
-            need_pop &= ~all_found
-            done_early = active & all_found
-        else:
-            done_early = jnp.zeros_like(active) & active
-
-        sp_next = jnp.where(need_pop & (sp_after > 0), sp_after - 1,
-                            sp_after)
+            all_found = jnp.all((best_prim >= 0) | ~live0, axis=-1)
+            active &= ~all_found
+        can_pop = active & (sp_after > 0)
+        sp_next = jnp.where(can_pop, sp_after - 1, sp_after)
         popped = jnp.take_along_axis(
             stack, jnp.maximum(sp_next, 0)[:, None], axis=1)[:, 0]
-        cur_next = jnp.where(push, cur + 1,
-                             jnp.where(need_pop & (sp_after > 0),
-                                       popped, -1))
-        cur_next = jnp.where(done_early | ~active, -1, cur_next)
+        cur_next = jnp.where(can_pop, popped, DONE)
         return cur_next, sp_next, stack, best_t, best_prim
 
     state = (cur, sp, stack, best_t, best_prim)

@@ -1,0 +1,522 @@
+"""Pallas TPU kernel: in-kernel packet walk of the BVH8 table.
+
+The XLA-level packet walk (geom/packet.py) pays ~300-550 us per tree
+step: every step is a chain of HBM-materialized [G, W, 8] temps plus a
+full-array stack update, and ALL packets advance in lockstep so the
+step count is the MAX over packets. This kernel moves the whole walk
+inside one Pallas program:
+
+- the unified BVH8 table (geom/bvh8.py) is DMA'd from HBM into a VMEM
+  scratch ONCE (first grid step) and stays resident — node fetches
+  become scalar VMEM loads, free of XLA gather costs;
+- each grid step walks ONE packet of W rays: per-packet node and leaf
+  stacks live in SMEM (scalar memory), the traversal state (best_t,
+  best_prim) in registers, so a packet only pays for the nodes IT
+  visits (average, not max, step count);
+- every while iteration UNCONDITIONALLY processes 2 node rows + 2 leaf
+  rows (dummy rows when a stack runs short): a node-vs-leaf `lax.cond`
+  measured ~1 us/iteration of pipeline breakage on v5e, far more than
+  the dummy work costs;
+- per node row: 8 child slab tests as dense [W/128, 128] VPU math
+  against scalar-broadcast child boxes; all hit flags of an iteration
+  are packed vector-side into ONE bitmask so a single vector->scalar
+  sync (~0.2 us) drives the scalar push logic;
+- per leaf row: 8 primitive records tested as independent chains vs
+  the entry best_t (scalar-broadcast like geom/dense_tpu.py), then
+  min-merged — serial best_t updates would chain the slot latencies.
+
+Replaces the CUDA per-thread stack walk (pathtracer.cu:214-296) for
+large scenes; intersection semantics match geom/traverse.py
+(Moller-Trumbore mesh.h:45-67, sphere.h:26-94, line.h:33-87).
+
+Capacity — two regimes, chosen by table size vs VMEM (~16 MB/core):
+- RESIDENT (rows <= RESIDENT_MAX_ROWS): the whole unified table is
+  DMA'd to VMEM once and every fetch is a VMEM load.
+- STREAMED (packed node rows <= NODE4_MAX_ROWS): the nodes are VMEM-
+  resident in a bf16-packed 4-nodes/row table (bvh8.pack_nodes4 —
+  directed-rounded bf16 boxes stay conservative, so at worst an extra
+  node is visited, never a miss); popped leaf rows are DMA'd from HBM
+  into a 2-row buffer with a one-iteration software pipeline —
+  iteration i tests the rows whose copies were started at i-1, so the
+  ~1 us HBM latency hides behind the node slab tests. This is the
+  sponza-class regime: a 1M-prim unified table is ~120 MB, but its
+  packed node rows are ~7 MB (scales to ~7M prims).
+Beyond NODE4_MAX_ROWS the XLA walk (geom/packet.py) remains the
+fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+PACKET_W = 1024         # rays per packet = one grid step (ROWS must be
+                        # a multiple of 8 — Mosaic block-shape rule)
+ROWS = PACKET_W // LANES
+NSTACK = 256            # node stack: bounded by bvh8 depth * 14 + 16
+LSTACK = 2048           # leaf backlog: pushes <= 16/iter, drains 2/iter
+RESIDENT_MAX_ROWS = 24576   # 12 MB of VMEM for the resident table
+NODE4_MAX_ROWS = 24576      # 12 MB cap on the bf16-packed node rows
+                            # (4 nodes/row -> ~98k nodes/MB: ~7M prims)
+
+
+def _safe_inv(d):
+    eps = 1e-20
+    return 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                           jnp.where(d >= 0, eps, -eps))
+
+
+def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
+    """Dual-stack, branch-free packet walk.
+
+    Every while iteration UNCONDITIONALLY processes 2 node rows and
+    2 leaf rows (popped from separate SMEM stacks; the all-zero DUMMY
+    row substitutes when a stack runs short). Measured on v5e: a
+    `lax.cond` choosing node-vs-leaf work costs ~1 us PER ITERATION in
+    pipeline breakage — far more than the dummy work it saves — and a
+    single packed-bitmask vector->scalar sync per iteration (~0.2 us)
+    replaces what would be 16 separate `jnp.any` syncs.
+
+    n8 is None => RESIDENT mode (tab holds the whole unified table);
+    else STREAMED mode: tab holds the bf16-packed 4-nodes/row table
+    (bvh8.pack_nodes4, trailing zero dummy row included) and popped
+    leaf rows are DMA'd from the unified table in HBM into the 2-row
+    lbuf with a one-iteration pipeline (test the rows whose copies
+    started last iteration).
+    """
+    streamed = n8 is not None
+    if streamed:
+        (nodes4_hbm, tab_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx,
+         t_out, p_out, tab, nstack, lstack, sps, sem,
+         lbuf, mscr, lsem0, lsem1) = refs
+    else:
+        (tab_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx,
+         t_out, p_out, tab, nstack, lstack, sps, sem) = refs
+
+    # resident part: one DMA on the first grid step; the scratch
+    # persists across grid steps so later packets reuse it
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        src = nodes4_hbm if streamed else tab_hbm
+        cp = pltpu.make_async_copy(src, tab, sem)
+        cp.start()
+        cp.wait()
+
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    tmin = tmn[...]
+    tmax = tmx[...]
+    ix = _safe_inv(rdx)
+    iy = _safe_inv(rdy)
+    iz = _safe_inv(rdz)
+    live = tmax > 0.0       # padded lanes carry tmax <= 0
+    if streamed:
+        # node ids decode as (row id>>2, quarter id&3); the packed
+        # table's trailing zero row makes id 4*(rows-1) an all-zero
+        # quarter (meta 0 => no pushes)
+        dummy = (tab.shape[0] - 1) * 4
+        ldummy = tab_hbm.shape[0] - 1    # zero leaf row in HBM
+    else:
+        dummy = tab.shape[0] - 1
+        ldummy = dummy
+    sps[0] = 1              # node stack: root row 0 pre-pushed
+    sps[1] = 0              # leaf stack
+    nstack[0] = 0
+
+    # child index -> bit weight, as an [8, 1] column (vector-side OR:
+    # per-child any-flags times distinct powers of two, summed)
+    pow2_col = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
+
+    # field extraction: Mosaic cannot shape-cast [1,64]->[8,8] (lanes to
+    # sublanes), but it DOES have a lane-axis dynamic gather. Broadcast
+    # the row vector to 8 sublanes and gather field f of child/slot c at
+    # lane index c*stride+f -> an [8,128] where sublane c carries that
+    # child's field broadcast across all lanes, ready for [8,128] x
+    # [1,128] ray-row math (same trick as ops/small_gather.py).
+    child8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * 8
+    child4 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * 4
+    slot16 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * 16
+    HIMASK = jnp.int32(np.int32(np.uint32(0xFFFF0000)))
+
+    def node_tests(row, base_bit, best_t, mask_vec, metas):
+        """8 child slab tests of one node row: every term is an
+        [8 children, 128] x [1, 128] broadcast against a ray ROW — a
+        scalar-load + scalar->vector broadcast per field measured
+        ~10-15 cycles EACH on v5e (56/node dominated the old step).
+        Hit flags are packed vector-side into bits base_bit+c.
+
+        STREAMED mode decodes the bf16-packed quarter-row node record:
+        each box axis is two directed-rounded bf16s in one f32 bit
+        carrier (min high half, max low half — bvh8.pack_nodes4)."""
+        if streamed:
+            row8 = jnp.broadcast_to(tab[pl.ds(row >> 2, 1), :], (8, LANES))
+            idxc = child4 + (row & 3) * 32
+
+            def unpack(off):
+                v = jax.lax.bitcast_convert_type(
+                    jnp.take_along_axis(row8, idxc + off, axis=1),
+                    jnp.int32)
+                mn = jax.lax.bitcast_convert_type(v & HIMASK, jnp.float32)
+                mx = jax.lax.bitcast_convert_type(
+                    jnp.left_shift(v, 16), jnp.float32)
+                return mn, mx
+
+            bx0, bx1 = unpack(0)
+            by0, by1 = unpack(1)
+            bz0, bz1 = unpack(2)
+            metac = jnp.take_along_axis(row8, idxc + 3, axis=1)
+        else:
+            row8 = jnp.broadcast_to(tab[pl.ds(row, 1), :], (8, LANES))
+
+            def fld(f):
+                return jnp.take_along_axis(row8, child8 + f, axis=1)
+
+            bx0, by0, bz0 = fld(0), fld(1), fld(2)
+            bx1, by1, bz1 = fld(3), fld(4), fld(5)
+            metac = fld(6)
+        h_any = None
+        for rr in range(ROWS):
+            t1 = (bx0 - rox[rr:rr + 1, :]) * ix[rr:rr + 1, :]
+            t2 = (bx1 - rox[rr:rr + 1, :]) * ix[rr:rr + 1, :]
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            t1 = (by0 - roy[rr:rr + 1, :]) * iy[rr:rr + 1, :]
+            t2 = (by1 - roy[rr:rr + 1, :]) * iy[rr:rr + 1, :]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            t1 = (bz0 - roz[rr:rr + 1, :]) * iz[rr:rr + 1, :]
+            t2 = (bz1 - roz[rr:rr + 1, :]) * iz[rr:rr + 1, :]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            hit = (tf > 1e-5) & (tn <= tf) \
+                & (tn <= best_t[rr:rr + 1, :]) & live[rr:rr + 1, :]
+            h = jnp.where(hit, 1, 0)
+            h_any = h if h_any is None else jnp.maximum(h_any, h)
+        # meta == 0 marks an empty child slot (whose inverted bbox
+        # alone does NOT fail the slab test: -inf <= +inf)
+        bits = h_any * jnp.where(metac != 0.0, pow2_col * (1 << base_bit), 0)
+        a = jnp.sum(jnp.max(bits, axis=1, keepdims=True),
+                    axis=0, keepdims=True)
+        mask_vec = a if mask_vec is None else mask_vec + a
+        if streamed:
+            # the packed layout has no static lane for child c's meta;
+            # stage the (lane-uniform) gathered meta vector through a
+            # VMEM scratch so the push loop reads it back at STATIC
+            # [row, 0] addresses as scalars
+            base_r = (base_bit // 8) * 8
+            mscr[pl.ds(base_r, 8), :] = metac
+            for c in range(8):
+                metas.append(mscr[base_r + c, 0].astype(jnp.int32))
+        else:
+            for c in range(8):
+                metas.append(tab[row, c * 8 + 6].astype(jnp.int32))
+        return mask_vec
+
+    def leaf_tests_two(rows_2, best_t):
+        """All 16 slots of two leaf rows ([1, 128] arrays) vs every ray
+        row, in the transposed [8 slots, 128] x [1, 128 rays] broadcast
+        form, reduced over slots per ray row and reassembled to
+        [ROWS, 128]."""
+        cols = []
+        for row in rows_2:
+            row8 = jnp.broadcast_to(row, (8, LANES))
+
+            def g(f, row8=row8):
+                return jnp.take_along_axis(row8, slot16 + f, axis=1)
+
+            cols.append(dict(
+                v0x=g(0), v0y=g(1), v0z=g(2),
+                ax=g(3), ay=g(4), az=g(5),
+                bx=g(6), by=g(7), bz=g(8),
+                ptype=g(9), r0=g(10), r1=g(11),
+                pid=g(12), valid=g(13)))
+        t_rows = []
+        p_rows = []
+        for rr in range(ROWS):
+            ro_x = rox[rr:rr + 1, :]
+            ro_y = roy[rr:rr + 1, :]
+            ro_z = roz[rr:rr + 1, :]
+            rd_x = rdx[rr:rr + 1, :]
+            rd_y = rdy[rr:rr + 1, :]
+            rd_z = rdz[rr:rr + 1, :]
+            tmin_r = tmin[rr:rr + 1, :]
+            bt_r = best_t[rr:rr + 1, :]
+            live_r = live[rr:rr + 1, :]
+            tm_best = None
+            pm_best = None
+            for cc in cols:
+                ok = None
+                t = None
+                if has_tri:
+                    # Moller-Trumbore (mesh.h:45-67); every product is
+                    # a [8,1] x [1,128] rank-1 broadcast
+                    s1x = cc["bz"] * rd_y - cc["by"] * rd_z
+                    s1y = cc["bx"] * rd_z - cc["bz"] * rd_x
+                    s1z = cc["by"] * rd_x - cc["bx"] * rd_y
+                    div = s1x * cc["ax"] + s1y * cc["ay"] + s1z * cc["az"]
+                    okt = jnp.abs(div) >= 1e-8
+                    inv = 1.0 / jnp.where(okt, div, 1.0)
+                    sx = ro_x - cc["v0x"]
+                    sy = ro_y - cc["v0y"]
+                    sz = ro_z - cc["v0z"]
+                    b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
+                    s2x = sy * cc["az"] - sz * cc["ay"]
+                    s2y = sz * cc["ax"] - sx * cc["az"]
+                    s2z = sx * cc["ay"] - sy * cc["ax"]
+                    b2 = (rd_x * s2x + rd_y * s2y + rd_z * s2z) * inv
+                    tt = (cc["bx"] * s2x + cc["by"] * s2y
+                          + cc["bz"] * s2z) * inv
+                    okt &= (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) \
+                        & (b1 + b2 <= 1.0) & (tt >= tmin_r) & (tt <= bt_r)
+                    okt &= cc["ptype"] == 0.0
+                    ok, t = okt, tt
+                if has_sph:
+                    # sphere quadratic (sphere.h:26-94)
+                    opx = ro_x - cc["v0x"]
+                    opy = ro_y - cc["v0y"]
+                    opz = ro_z - cc["v0z"]
+                    bq = opx * rd_x + opy * rd_y + opz * rd_z
+                    cq = opx * opx + opy * opy + opz * opz \
+                        - cc["r0"] * cc["r0"]
+                    delta = bq * bq - cq
+                    oks = delta >= 0.0
+                    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+                    tq1 = -bq - sq
+                    tq2 = -bq + sq
+                    use1 = tq1 > tmin_r
+                    ts = jnp.where(use1, tq1, tq2)
+                    oks &= (ts > 0.0) & (ts <= bt_r)
+                    oks &= use1 | (tq1 > 0.0) | (tq2 > tmin_r)
+                    oks &= cc["ptype"] == 2.0
+                    ok = oks if ok is None else ok | oks
+                    t = ts if t is None else jnp.where(oks, ts, t)
+                if has_lin:
+                    # ray/segment closest approach (line.h:33-87)
+                    vx = cc["ax"] - cc["v0x"]
+                    vy = cc["ay"] - cc["v0y"]
+                    vz = cc["az"] - cc["v0z"]
+                    wx = ro_x - cc["v0x"]
+                    wy = ro_y - cc["v0y"]
+                    wz = ro_z - cc["v0z"]
+                    aa = rd_x * rd_x + rd_y * rd_y + rd_z * rd_z
+                    bb = rd_x * vx + rd_y * vy + rd_z * vz
+                    ccd = vx * vx + vy * vy + vz * vz
+                    dd = rd_x * wx + rd_y * wy + rd_z * wz
+                    ee = vx * wx + vy * wy + vz * wz
+                    det = aa * ccd - bb * bb
+                    okl = det != 0.0
+                    det_s = jnp.where(okl, det, 1.0)
+                    tl = (bb * ee - ccd * dd) / det_s
+                    sl_ = jnp.clip((aa * ee - bb * dd) / det_s, 0.0, 1.0)
+                    okl &= (tl >= tmin_r) & (tl <= bt_r)
+                    prx = wx + rd_x * tl - vx * sl_
+                    pry = wy + rd_y * tl - vy * sl_
+                    prz = wz + rd_z * tl - vz * sl_
+                    d2 = prx * prx + pry * pry + prz * prz
+                    rrad = cc["r0"] * (1.0 - sl_) + cc["r1"] * sl_
+                    okl &= d2 <= rrad * rrad
+                    okl &= cc["ptype"] == 1.0
+                    ok = okl if ok is None else ok | okl
+                    t = tl if t is None else jnp.where(okl, tl, t)
+                ok &= (cc["valid"] != 0.0) & live_r
+                tm = jnp.where(ok, t, jnp.inf)            # [8, 128]
+                t_min = jnp.min(tm, axis=0, keepdims=True)
+                pm = jnp.max(jnp.where(tm == t_min, cc["pid"], -1.0),
+                             axis=0, keepdims=True)
+                pm = jnp.where(t_min < jnp.inf, pm, -1.0)
+                if tm_best is None:
+                    tm_best, pm_best = t_min, pm
+                else:
+                    take = t_min < tm_best
+                    tm_best = jnp.where(take, t_min, tm_best)
+                    pm_best = jnp.where(take, pm, pm_best)
+            t_rows.append(tm_best)
+            p_rows.append(pm_best)
+        return (jnp.concatenate(t_rows, axis=0),
+                jnp.concatenate(p_rows, axis=0))
+
+    def start_leaf_copies(l1, l2):
+        pltpu.make_async_copy(tab_hbm.at[pl.ds(l1, 1)],
+                              lbuf.at[pl.ds(0, 1)], lsem0).start()
+        pltpu.make_async_copy(tab_hbm.at[pl.ds(l2, 1)],
+                              lbuf.at[pl.ds(1, 1)], lsem1).start()
+
+    def wait_leaf_copies():
+        pltpu.make_async_copy(tab_hbm.at[pl.ds(0, 1)],
+                              lbuf.at[pl.ds(0, 1)], lsem0).wait()
+        pltpu.make_async_copy(tab_hbm.at[pl.ds(0, 1)],
+                              lbuf.at[pl.ds(1, 1)], lsem1).wait()
+
+    def cond(state):
+        return state[0]
+
+    def body(state):
+        _, best_t, best_p = state
+        # test the leaf rows fetched for this iteration: VMEM reads in
+        # RESIDENT mode, last iteration's DMA buffer in STREAMED mode
+        # (one-iteration software pipeline hides the HBM latency behind
+        # this iteration's node tests; the first wait consumes the
+        # dummy-row priming copies)
+        if streamed:
+            wait_leaf_copies()
+            rows_2 = (lbuf[0:1, :], lbuf[1:2, :])
+        # pop up to 2 nodes and 2 leaves (DUMMY when short)
+        sn = sps[0]
+        n1 = jnp.where(sn > 0, nstack[jnp.maximum(sn - 1, 0)], dummy)
+        n2 = jnp.where(sn > 1, nstack[jnp.maximum(sn - 2, 0)], dummy)
+        sps[0] = jnp.maximum(sn - 2, 0)
+        sl = sps[1]
+        l1 = jnp.where(sl > 0, lstack[jnp.maximum(sl - 1, 0)], ldummy)
+        l2 = jnp.where(sl > 1, lstack[jnp.maximum(sl - 2, 0)], ldummy)
+        sps[1] = jnp.maximum(sl - 2, 0)
+        if streamed:
+            start_leaf_copies(l1, l2)
+        else:
+            rows_2 = (tab[pl.ds(l1, 1), :], tab[pl.ds(l2, 1), :])
+
+        metas = []
+        mask_vec = node_tests(n1, 0, best_t, None, metas)
+        mask_vec = node_tests(n2, 8, best_t, mask_vec, metas)
+        t_cand, p_cand = leaf_tests_two(rows_2, best_t)
+        upd = t_cand < jnp.inf   # ok already implies t <= entry best_t
+        best_t = jnp.where(upd, t_cand, best_t)
+        best_p = jnp.where(upd, p_cand, best_p)
+        if any_hit:
+            nf = jnp.max(jnp.where((best_p < 0.0) & live, 1 << 16, 0),
+                         axis=1, keepdims=True)
+            mask_vec = mask_vec + jnp.max(nf, axis=0, keepdims=True)
+
+        m = jnp.max(mask_vec)        # the ONE vector->scalar sync
+        # branch-free pushes: ALWAYS store at the stack top, advance the
+        # pointer only when the child's hit bit is set — a `pl.when` per
+        # child measured ~100 ns of branch overhead each (48 of them
+        # dwarfed the actual work); stale writes above sp are never read
+        sn = jnp.minimum(sps[0], NSTACK - 1)
+        sl = jnp.minimum(sps[1], LSTACK - 1)
+        for i in range(16):
+            meta = metas[i]
+            f = (m >> i) & 1
+            nstack[sn] = meta
+            sn = jnp.minimum(sn + f * (meta > 0), NSTACK - 1)
+            lstack[sl] = -meta
+            sl = jnp.minimum(sl + f * (meta < 0), LSTACK - 1)
+        sps[0] = sn
+        sps[1] = sl
+
+        more = (sps[0] > 0) | (sps[1] > 0)
+        if streamed:
+            # the leaf rows now in flight still need their test
+            more |= (l1 != ldummy) | (l2 != ldummy)
+        if any_hit:
+            more &= (m & (1 << 16)) != 0
+        return more, best_t, best_p
+
+    if streamed:
+        # prime the pipeline with dummy-row copies so the first body
+        # iteration's wait/test pair is uniform
+        start_leaf_copies(ldummy, ldummy)
+    state = (jnp.bool_(True), tmax,
+             jnp.full(rox.shape, -1.0, jnp.float32))
+    _, best_t, best_p = jax.lax.while_loop(cond, body, state)
+    if streamed:
+        # drain the copies started by the final iteration so the DMA
+        # semaphores are balanced before the next grid step
+        wait_leaf_copies()
+    t_out[...] = best_t
+    p_out[...] = best_p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("has_tri", "has_sph", "has_lin", "any_hit",
+                              "n8", "interpret"))
+def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
+                     has_sph, has_lin, any_hit, n8=None, interpret=False):
+    n = ro.shape[0]
+    n_pad = (n + PACKET_W - 1) // PACKET_W * PACKET_W
+
+    def prep(a):
+        return jnp.pad(a, (0, n_pad - n)).reshape(-1, LANES)
+
+    comps = [prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+             prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+             prep(jnp.broadcast_to(tmin, (n,))),
+             prep(jnp.broadcast_to(tmax, (n,)))]
+    g = n_pad // PACKET_W
+
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    n_rows = table.shape[0]
+    resident_rows = n_rows if n8 is None else nodes4.shape[0]
+    scratch = [
+        pltpu.VMEM((resident_rows, LANES), jnp.float32),
+        pltpu.SMEM((NSTACK,), jnp.int32),
+        pltpu.SMEM((LSTACK,), jnp.int32),
+        pltpu.SMEM((2,), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    inputs = (table,)
+    n_tabs = 1
+    if n8 is not None:
+        scratch += [
+            pltpu.VMEM((8, LANES), jnp.float32),   # 2-row leaf DMA buffer
+            pltpu.VMEM((16, LANES), jnp.float32),  # meta staging rows
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        inputs = (nodes4, table)
+        n_tabs = 2
+    kernel = functools.partial(
+        _walk_kernel, has_tri=has_tri, has_sph=has_sph, has_lin=has_lin,
+        any_hit=any_hit, n8=n8)
+    t, p = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[tab_spec] * n_tabs + [ray_spec] * 8,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=resident_rows * LANES * 4 + 4 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs, *comps)
+    t = t.reshape(-1)[:n]
+    p = p.reshape(-1)[:n].astype(jnp.int32)
+    return t, p, p >= 0
+
+
+def supports(scene, static) -> bool:
+    rows = int(scene.bvh8_table.shape[0])
+    if rows <= RESIDENT_MAX_ROWS:
+        return True
+    return (static.bvh8_n8 + 3) // 4 + 1 <= NODE4_MAX_ROWS
+
+
+def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
+                    interpret: bool = False, force_streamed: bool = False):
+    """Drop-in for geom.packet.packet_traverse on the TPU backend."""
+    n = ro.shape[0]
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+    tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)
+    rows = int(scene.bvh8_table.shape[0])
+    n8 = None
+    if force_streamed or rows > RESIDENT_MAX_ROWS:
+        n8 = static.bvh8_n8
+    return _packet_tpu_call(
+        scene.bvh8_table, scene.bvh8_nodes4, ro, rd, tmin_b, tmax_b,
+        has_tri=static.has_triangles, has_sph=static.has_spheres,
+        has_lin=static.has_lines, any_hit=any_hit, n8=n8,
+        interpret=interpret)

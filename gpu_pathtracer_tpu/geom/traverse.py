@@ -232,6 +232,12 @@ def intersect_any(scene, static, ro, rd, tmin, tmax):
     if on_tpu and static.n_primitives <= 65536:
         from gpu_pathtracer_tpu.geom import dense_tpu
         return dense_tpu.blocked_any(scene, static, ro, rd, tmin, tmax)
+    if on_tpu:
+        from gpu_pathtracer_tpu.geom import packet_tpu
+        if packet_tpu.supports(scene, static):
+            _, _, found = packet_tpu.packet_traverse(
+                scene, static, ro, rd, tmin, tmax, any_hit=True)
+            return found
     _, _, found = packet.packet_traverse(
         scene, static, ro, rd, tmin, tmax, any_hit=True)
     return found
@@ -258,8 +264,16 @@ def intersect_closest(scene, static, ro, rd, tmin, tmax) -> Hit:
         best_t, best_prim, found = dense_tpu.blocked_closest(
             scene, static, ro, rd, tmin, tmax)
     else:
-        best_t, best_prim, found = packet.packet_traverse(
-            scene, static, ro, rd, tmin, tmax, any_hit=False)
+        use_kernel = False
+        if on_tpu:
+            from gpu_pathtracer_tpu.geom import packet_tpu
+            use_kernel = packet_tpu.supports(scene, static)
+        if use_kernel:
+            best_t, best_prim, found = packet_tpu.packet_traverse(
+                scene, static, ro, rd, tmin, tmax, any_hit=False)
+        else:
+            best_t, best_prim, found = packet.packet_traverse(
+                scene, static, ro, rd, tmin, tmax, any_hit=False)
     return _hit_attributes(scene, static, ro, rd, best_t, best_prim, found)
 
 

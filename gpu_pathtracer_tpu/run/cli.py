@@ -77,7 +77,7 @@ def main(argv=None):
 
     geo = _sz(d.v0, d.v1, d.v2, d.n0, d.n1, d.n2, d.uv0, d.uv1, d.uv2,
               d.prim_attrs)
-    bvh = _sz(d.node_bbox_min, d.node_bbox_max, d.node_packed, d.leaf_prims)
+    bvh = _sz(d.node_bbox_min, d.node_bbox_max, d.bvh8_table)
     print(f"[hbm] geometry {geo:.1f} MB, bvh {bvh:.1f} MB, "
           f"materials {_sz(d.mat_attrs):.2f} MB, "
           f"lights {_sz(d.light_attrs, d.light_cdf):.2f} MB, "

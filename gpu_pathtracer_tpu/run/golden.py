@@ -1,75 +1,154 @@
-"""Golden-image regression: render cornell_box VPT and compare to the
-reference's own converged render (result/smoke.png — the one bundled
-golden whose scene assets ship with the repo; the other 39 result images
-reference meshes the reference does not include).
+"""Golden-image regression suite: render the scenes whose assets ship
+with the reference and compare to its converged `result/` renders.
 
 Usage (real TPU):
-    python -m gpu_pathtracer_tpu.run.golden [--spp 128] [--size 256]
+    python -m gpu_pathtracer_tpu.run.golden              # all goldens
+    python -m gpu_pathtracer_tpu.run.golden --only smoke --spp 64
 
-Prints RMSE over tonemapped [0,1] pixels. The golden is converged and
-ours is N-spp Monte Carlo, so the comparison bounds correctness, not
-noise: structural mismatches (wrong walls, wrong brightness) dominate
-RMSE long before variance does.
+Prints per-scene RMSE over tonemapped [0,1] pixels and one JSON summary
+line. The goldens are converged and ours are N-spp Monte Carlo, so the
+comparison bounds correctness, not noise: structural mismatches (wrong
+walls, wrong brightness, wrong blur) dominate RMSE long before variance
+does.
 
-Known data-vintage gap: the bundled density.d renders a diagonal plume
-under the reference's own indexing (verified: only the z-major reshape
-is smooth along all axes); smoke.png's vertical plume predates the
-bundled grid. Walls/light/GI still anchor the comparison; the plume
-region accounts for ~0.05 RMSE by itself, hence the 0.10 gate.
+Per-scene notes:
+- smoke (cornell_box VPT vs result/smoke.png): the bundled density.d
+  predates the golden (diagonal vs vertical plume — PARITY.md); the
+  plume region is masked out and the rest gated tight.
+- fur (fur.json PT vs result/line_example.png): line primitives.
+- vol_caustic (vol_caustic.json VPT vs result/volume_caustic.png): the
+  shipped light mesh (mesh_6.obj) is ~1e-3 of the panel the golden used;
+  radiance is scaled by the measured area ratio (PARITY.md).
+- cornell_dof (scenes/cornell_dof PT vs result/cornell_dof.png):
+  repo-authored classic-box scene with a thin-lens aperture; exercises
+  the DoF camera path end-to-end.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
 import numpy as np
 
-GOLDEN = "/root/reference/result/smoke.png"
-SCENE = "/root/reference/scenes/cornell_box/scene.json"
+RESULT = "/root/reference/result"
+REF_SCENES = "/root/reference/scenes"
+REPO_SCENES = "/root/repo/scenes"
 
 
 def _load_png(path):
     from PIL import Image
-    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def _downsample(img, size):
+    if img.shape[0] != size:
+        f = img.shape[0] // size
+        img = img[:f * size, :f * size]
+        img = img.reshape(size, f, size, f, 3).mean((1, 3))
     return img
+
+
+def _smoke_mask(size):
+    """Mask (True = compare) excluding the density-grid plume region —
+    the medium cube interface spans roughly the central square."""
+    m = np.ones((size, size), bool)
+    lo, hi = int(size * 0.20), int(size * 0.84)
+    m[lo:hi, lo:hi] = False
+    return m
+
+
+def _scale_vol_caustic_light(scene):
+    """The golden used a panel-sized light; the shipped mesh_6.obj is a
+    tiny quad. Scale radiance by the area ratio (PARITY.md)."""
+    from gpu_pathtracer_tpu.scene.objloader import load_obj
+    import os
+
+    def area(path):
+        v = load_obj(path).positions  # triangle soup [T, 3, 3]
+        c = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+        return 0.5 * np.linalg.norm(c, axis=-1).sum()
+
+    a_panel = area(os.path.join(REF_SCENES, "cornell_box/geometry/light.obj"))
+    a_mesh = area(os.path.join(REF_SCENES, "cornell_box/geometry/mesh_6.obj"))
+    ratio = a_panel / max(a_mesh, 1e-12)
+    for lt in scene.lights:
+        lt.radiance = lt.radiance * ratio
+    return scene
+
+
+GOLDENS = {
+    "smoke": dict(
+        scene=f"{REF_SCENES}/cornell_box/scene.json", integrator="vpt",
+        golden=f"{RESULT}/smoke.png", gate=0.035, mask=_smoke_mask),
+    "fur": dict(
+        scene=f"{REF_SCENES}/cornell_box/fur.json", integrator="pt",
+        golden=f"{RESULT}/line_example.png", gate=0.05),
+    "vol_caustic": dict(
+        scene=f"{REF_SCENES}/cornell_box/vol_caustic.json", integrator="vpt",
+        golden=f"{RESULT}/volume_caustic.png", gate=0.06,
+        prep=_scale_vol_caustic_light),
+    "cornell_dof": dict(
+        scene=f"{REPO_SCENES}/cornell_dof/scene.json", integrator="pt",
+        golden=f"{RESULT}/cornell_dof.png", gate=0.05),
+}
+
+
+def run_one(name, cfg, spp, size, out=None, max_depth=None):
+    from gpu_pathtracer_tpu.run.renderer import Renderer
+    from gpu_pathtracer_tpu.scene.parse import _INTEGRATOR_MAP, load_scene
+
+    scene = load_scene(cfg["scene"])
+    scene.width = scene.height = size
+    if "prep" in cfg:
+        scene = cfg["prep"](scene)
+    r = Renderer(scene, integrator=_INTEGRATOR_MAP[cfg["integrator"]],
+                 max_depth=max_depth)
+    t0 = time.time()
+    r.render(spp)
+    img = r.image()[::-1]  # goldens are top-down
+    dt = time.time() - t0
+    golden = _downsample(_load_png(cfg["golden"]), size)
+    diff2 = ((img - golden) ** 2).mean(-1)
+    if "mask" in cfg:
+        diff2 = diff2[cfg["mask"](size)]
+    rmse = float(np.sqrt(diff2.mean()))
+    ok = rmse < cfg["gate"]
+    print(f"[golden] {name:12s} {spp} spp @ {size}^2 in {dt:6.1f}s: "
+          f"RMSE {rmse:.4f} ({'PASS' if ok else 'FAIL'} @ {cfg['gate']})",
+          flush=True)
+    if out:
+        from gpu_pathtracer_tpu.film.imageio import save_png
+        save_png(f"{out}/{name}.png", img[::-1])
+    return rmse, ok
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=128)
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--out", default=None, help="also save our render")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated golden names")
+    ap.add_argument("--max-depth", type=int, default=None,
+                    help="override scene depth (speeds up the 17-bounce "
+                         "scenes; structure converges by depth ~8)")
+    ap.add_argument("--out", default=None, help="dir to save our renders")
     args = ap.parse_args(argv)
 
-    from gpu_pathtracer_tpu.run.renderer import Renderer
-    from gpu_pathtracer_tpu.scene.model import IntegratorType
-    from gpu_pathtracer_tpu.scene.parse import load_scene
+    from gpu_pathtracer_tpu.run.renderer import enable_compile_cache
+    enable_compile_cache()
 
-    scene = load_scene(SCENE)
-    scene.width = scene.height = args.size
-    r = Renderer(scene, integrator=IntegratorType.VPT)
-    t0 = time.time()
-    r.render(args.spp)
-    img = r.image()[::-1]  # golden is top-down
-    dt = time.time() - t0
-    print(f"[golden] rendered {args.spp} spp @ {args.size}^2 "
-          f"in {dt:.1f}s ({args.spp / dt:.2f} spp/s)", file=sys.stderr)
-
-    golden = _load_png(GOLDEN)
-    if golden.shape[0] != args.size:
-        # box-downsample the 512^2 golden to the render size
-        f = golden.shape[0] // args.size
-        golden = golden.reshape(args.size, f, args.size, f, 3).mean((1, 3))
-
-    rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
-    print(f"[golden] RMSE vs result/smoke.png: {rmse:.4f} "
-          f"({'PASS' if rmse < 0.10 else 'FAIL'} @ 0.10)")
-    if args.out:
-        from gpu_pathtracer_tpu.film.imageio import save_png
-        save_png(args.out, img[::-1])
-    return rmse
+    names = args.only.split(",") if args.only else list(GOLDENS)
+    results = {}
+    for name in names:
+        rmse, ok = run_one(name, GOLDENS[name], args.spp, args.size,
+                           args.out, args.max_depth)
+        results[name] = {"rmse": round(rmse, 4), "pass": ok}
+    print(json.dumps(results))
+    if not all(v["pass"] for v in results.values()):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

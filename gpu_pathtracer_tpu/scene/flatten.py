@@ -154,12 +154,16 @@ class DeviceScene:
     # min(3) max(3) pad(2)
     block_bbox: jnp.ndarray
 
-    # packet-traversal tables (geom/packet.py):
-    # node_packed [Nn, 8]: bbox_min(3) bbox_max(3) second_child pad
-    node_packed: jnp.ndarray
-    # leaf_prims [Nn, LEAF_SIZE*16]: per slot v0(3) a(3) b(3) type r0 r1
-    #   prim_idx valid pad(3); a/b are e1/e2 for tris, p1/- for lines
-    leaf_prims: jnp.ndarray
+    # packet-traversal table (geom/packet.py, built by geom/bvh8.py):
+    # unified BVH8 rows [n8 + n_leaf_rows, 128]. Node row: 8 child slots
+    # of [bbox_min(3) bbox_max(3) meta pad]; meta>0 node row, meta<0 leaf
+    # row -meta. Leaf row: 8 prim slots of the dense_prims record layout
+    # with col 13 = valid.
+    bvh8_table: jnp.ndarray
+    # bf16-packed node rows (4 nodes/row, bvh8.pack_nodes4) — the
+    # VMEM-resident node scratch of the STREAMED TPU walk; ~1/8 the
+    # bytes of the unified node rows so ~1M-prim node sets fit VMEM
+    bvh8_nodes4: jnp.ndarray
 
     # packed attribute tables for MXU one-hot gathers (ops/gather.py):
     # prim_attrs [P, 40]: v0 v1 v2 | n0 n1 n2 | uv0 uv1 uv2 | dpdv |
@@ -207,6 +211,8 @@ class StaticConfig:
     track_k: int  # candidate cap for the batched free-flight estimators
     n_primitives: int
     n_nodes: int
+    bvh8_n8: int    # node-row count of the unified BVH8 table
+    bvh8_rows: int  # total rows (nodes + leaves + dummy)
     material_types: tuple  # sorted tuple of MaterialType ints present
 
 
@@ -595,35 +601,12 @@ def flatten_scene(scene: HostScene, cache: bool = True
     block_bbox[:, 0:3] = pb_min.reshape(nb, BLOCK, 3).min(axis=1)
     block_bbox[:, 3:6] = pb_max.reshape(nb, BLOCK, 3).max(axis=1)
 
-    # packet-traversal tables
-    Nn = bvh.n_nodes
-    node_packed = np.zeros((Nn, 8), np.float32)
-    node_packed[:, 0:3] = bvh.bbox_min
-    node_packed[:, 3:6] = bvh.bbox_max
-    node_packed[:, 6] = bvh.second_child
-
-    from gpu_pathtracer_tpu.geom.bvh import LEAF_SIZE
-    leaf_prims = np.zeros((Nn, LEAF_SIZE * 16), np.float32)
-    leaf_ids = np.where(bvh.is_leaf)[0]
-    starts = bvh.start[leaf_ids]
-    ends = bvh.end[leaf_ids]
-    is_tri_all = prim_type == int(GeometryType.TRIANGLE)
-    for slot in range(LEAF_SIZE):
-        pi = starts + slot
-        sel = pi <= ends
-        rows = leaf_ids[sel]
-        pis = pi[sel]
-        o = slot * 16
-        tri = is_tri_all[pis][:, None]
-        leaf_prims[rows, o + 0:o + 3] = v0[pis]
-        leaf_prims[rows, o + 3:o + 6] = np.where(
-            tri, v1[pis] - v0[pis], v1[pis])
-        leaf_prims[rows, o + 6:o + 9] = np.where(tri, v2[pis] - v0[pis], 0.0)
-        leaf_prims[rows, o + 9] = prim_type[pis]
-        leaf_prims[rows, o + 10] = radius0[pis]
-        leaf_prims[rows, o + 11] = radius1[pis]
-        leaf_prims[rows, o + 12] = pis
-        leaf_prims[rows, o + 13] = 1.0
+    # packet-traversal table: unified BVH8 node/leaf rows (geom/bvh8.py).
+    # Only the packet regime (P > DENSE_MAX after the blocked cap) walks
+    # it, but mid-size scenes keep one for the CPU fallback path.
+    from gpu_pathtracer_tpu.geom import bvh8 as bvh8_mod
+    bvh8_table, bvh8_n8 = bvh8_mod.build_bvh8(bvh, dense_prims[:P])
+    bvh8_nodes4 = bvh8_mod.pack_nodes4(bvh8_table, bvh8_n8)
 
     # packed attribute tables (see DeviceScene docstring for layout)
     prim_attrs = np.zeros((P, 40), np.float32)
@@ -742,8 +725,8 @@ def flatten_scene(scene: HostScene, cache: bool = True
         b_eta=jnp.asarray(b_eta), b_g=jnp.asarray(b_g),
         dense_prims=jnp.asarray(dense_prims),
         block_bbox=jnp.asarray(block_bbox),
-        node_packed=jnp.asarray(node_packed),
-        leaf_prims=jnp.asarray(leaf_prims),
+        bvh8_table=jnp.asarray(bvh8_table),
+        bvh8_nodes4=jnp.asarray(bvh8_nodes4),
         prim_attrs=jnp.asarray(prim_attrs),
         fused_attrs=jnp.asarray(fused_attrs),
         mat_attrs=jnp.asarray(mat_attrs),
@@ -779,6 +762,8 @@ def flatten_scene(scene: HostScene, cache: bool = True
         track_k=track_k,
         n_primitives=P,
         n_nodes=bvh.n_nodes,
+        bvh8_n8=bvh8_n8,
+        bvh8_rows=int(bvh8_table.shape[0]),
         material_types=tuple(sorted({int(m.type) for m in scene.materials})),
     )
     return dev, static

@@ -1,0 +1,101 @@
+"""End-to-end infinite (environment) light tests.
+
+The reference ships no EXR asset, so the env path (infinite.h:6-95) can
+only be exercised with a synthesized map — the repo's own EXR codec
+writes one and the full scene->render pipeline reads it back.
+
+- Furnace: a convex lambertian sphere under a UNIFORM env of radiance 1
+  reflects exactly its albedo (no self-interreflection on a convex
+  body), and miss rays see 1. Catches uv-mapping, MIS weighting and
+  NEE-vs-env double counting at estimator level, not just unit level.
+- PT vs VPT on the bundled scenes/env scene (gradient sky + disc sun,
+  rotated frame): two independent integrator implementations must agree.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gpu_pathtracer_tpu.run.renderer import Renderer
+from gpu_pathtracer_tpu.scene.model import IntegratorType
+from gpu_pathtracer_tpu.scene.parse import load_scene
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV_SCENE = os.path.join(REPO, "scenes", "env", "scene.json")
+
+
+@pytest.fixture(scope="module")
+def furnace_scene(tmp_path_factory):
+    from gpu_pathtracer_tpu.film.imageio import save_exr
+
+    d = tmp_path_factory.mktemp("furnace")
+    save_exr(str(d / "uniform.exr"), np.ones((16, 32, 3), np.float32))
+    doc = {
+        "screen_width": 24, "screen_height": 24,
+        "integrator": "pt", "maxDepth": 4, "epsilon": 0.001,
+        "camera": {"position": [0, 0, 4], "lookat": [0, 0, 0],
+                   "fov": 30.0, "apertureRadius": 0.0,
+                   "focalDistance": 4.0, "filmicTonemap": False},
+        "material": [{"name": "Grey", "bsdf": "lambertian",
+                      "diffuse": [0.7, 0.7, 0.7]}],
+        "scene": [{"sphere": True, "center": [0, 0, 0], "radius": 1.0,
+                   "material": "Grey"}],
+        "light": [{"infinite": "uniform.exr"}],
+    }
+    (d / "scene.json").write_text(json.dumps(doc))
+    return load_scene(str(d / "scene.json"))
+
+
+def test_env_furnace(furnace_scene):
+    r = Renderer(furnace_scene)
+    r.render(196)
+    rad = r.radiance()
+    h = rad.shape[0]
+    # central pixels hit the sphere; corner pixels miss to the env
+    center = rad[h // 2 - 2:h // 2 + 2, h // 2 - 2:h // 2 + 2].mean((0, 1))
+    corner = np.stack([rad[0, 0], rad[0, -1], rad[-1, 0], rad[-1, -1]])
+    np.testing.assert_allclose(corner, 1.0, rtol=1e-3)
+    np.testing.assert_allclose(center, 0.7, rtol=0.08)
+
+
+def test_env_scene_pt_vs_vpt():
+    host = load_scene(ENV_SCENE)
+    host.width = host.height = 24
+    means = {}
+    for integ in (IntegratorType.PT, IntegratorType.VPT):
+        r = Renderer(host, integrator=integ)
+        r.render(64)
+        rad = r.radiance()
+        assert np.isfinite(rad).all()
+        means[integ] = rad.mean()
+    ratio = means[IntegratorType.PT] / means[IntegratorType.VPT]
+    assert 0.9 < ratio < 1.1, f"PT/VPT mean ratio {ratio:.3f}"
+
+
+def test_env_rotation_moves_light():
+    """Rotating the light frame must restructure the image (the mirror
+    sphere's sun glint and the shadows move) while keeping total sky
+    energy roughly constant — catches a rotation that is dropped (no
+    image change) or applied to radiance instead of direction."""
+    host = load_scene(ENV_SCENE)
+    host.width = host.height = 24
+    r0 = Renderer(host)
+    r0.render(64)
+    a = r0.radiance()
+
+    host2 = load_scene(ENV_SCENE)
+    host2.width = host2.height = 24
+    from gpu_pathtracer_tpu.scene import objloader
+    rs = objloader.trs_matrix([0, 0, 0], [0.0, 180.0, 0.0], [1, 1, 1])
+    host2.infinite.u = rs[:3, 0].astype(np.float32)
+    host2.infinite.v = rs[:3, 1].astype(np.float32)
+    host2.infinite.w = rs[:3, 2].astype(np.float32)
+    r1 = Renderer(host2)
+    r1.render(64)
+    b = r1.radiance()
+
+    assert 0.7 < a.mean() / b.mean() < 1.4
+    rel = np.abs(a - b).mean() / a.mean()
+    assert rel > 0.10, f"rotation changed the image by only {rel:.3f}"

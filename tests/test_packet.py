@@ -64,6 +64,88 @@ def test_packet_matches_simt_traversal(teapot_flat):
     assert (np.asarray(prim_p)[f] == np.asarray(prim_s)[f]).mean() > 0.99
 
 
+def test_packet_tpu_kernel_matches_xla_walk(teapot_flat):
+    """The Pallas in-kernel walk (interpret mode on CPU) must agree with
+    the XLA packet walk on closest and any-hit queries."""
+    from gpu_pathtracer_tpu.geom import packet_tpu
+    scene, static = teapot_flat
+    assert packet_tpu.supports(scene, static)
+    n = 700  # not a multiple of PACKET_W (tests padding)
+    ro, rd = _rays(n, scene, seed=3)
+    tmin = jnp.full(n, 1e-3)
+    tmax = jnp.full(n, np.inf)
+
+    t_x, prim_x, found_x = packet.packet_traverse(
+        scene, static, ro, rd, tmin, tmax, any_hit=False)
+    t_k, prim_k, found_k = packet_tpu.packet_traverse(
+        scene, static, ro, rd, tmin, tmax, any_hit=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(found_k), np.asarray(found_x))
+    f = np.asarray(found_x)
+    np.testing.assert_allclose(
+        np.asarray(t_k)[f], np.asarray(t_x)[f], rtol=1e-4)
+    assert (np.asarray(prim_k)[f] == np.asarray(prim_x)[f]).mean() > 0.99
+
+    # any-hit with a finite tmax exercises early-exit + tmax gating
+    _, _, any_x = packet.packet_traverse(
+        scene, static, ro, rd, tmin, jnp.full(n, 2.0), any_hit=True)
+    _, _, any_k = packet_tpu.packet_traverse(
+        scene, static, ro, rd, tmin, jnp.full(n, 2.0), any_hit=True,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(any_k), np.asarray(any_x))
+
+
+def test_pack_nodes4_conservative(teapot_flat):
+    """The bf16-packed node boxes must CONTAIN the f32 boxes (mins
+    rounded down, maxs up) and carry identical metas."""
+    scene, static = teapot_flat
+    table = np.asarray(scene.bvh8_table)
+    n8 = static.bvh8_n8
+    packed = np.asarray(scene.bvh8_nodes4)
+    nodes = table[:n8].reshape(n8, 16, 8)[:, :8, :]
+    quad = packed[:-1].reshape(-1, 4, 8, 4).reshape(-1, 8, 4)[:n8]
+    v = quad[..., 0:3].view(np.uint32)
+    mn = (v & np.uint32(0xFFFF0000)).view(np.float32)
+    mx = (v << np.uint32(16)).view(np.float32)
+    fin = np.isfinite(nodes[..., 0:3])
+    assert (mn[fin] <= nodes[..., 0:3][fin]).all()
+    fin = np.isfinite(nodes[..., 3:6])
+    assert (mx[fin] >= nodes[..., 3:6][fin]).all()
+    np.testing.assert_array_equal(quad[..., 3], nodes[..., 6])
+    # rounding must stay tight: within one bf16 ulp (~0.8%)
+    rel = np.abs(mn[fin] - nodes[..., 0:3][fin])
+    assert (rel <= np.abs(nodes[..., 0:3][fin]) * 0.01 + 1e-3).all()
+
+
+def test_packet_tpu_streamed_matches_resident(teapot_flat):
+    """The STREAMED kernel (VMEM-resident nodes + DMA'd leaf rows with a
+    one-iteration pipeline) must agree with the XLA walk — forced on via
+    force_streamed so the small fixture exercises the big-scene path."""
+    from gpu_pathtracer_tpu.geom import packet_tpu
+    scene, static = teapot_flat
+    n = 700
+    ro, rd = _rays(n, scene, seed=7)
+    tmin = jnp.full(n, 1e-3)
+    tmax = jnp.full(n, np.inf)
+
+    t_x, prim_x, found_x = packet.packet_traverse(
+        scene, static, ro, rd, tmin, tmax, any_hit=False)
+    t_s, prim_s, found_s = packet_tpu.packet_traverse(
+        scene, static, ro, rd, tmin, tmax, any_hit=False, interpret=True,
+        force_streamed=True)
+    np.testing.assert_array_equal(np.asarray(found_s), np.asarray(found_x))
+    f = np.asarray(found_x)
+    np.testing.assert_allclose(
+        np.asarray(t_s)[f], np.asarray(t_x)[f], rtol=1e-4)
+    assert (np.asarray(prim_s)[f] == np.asarray(prim_x)[f]).mean() > 0.99
+
+    _, _, any_x = packet.packet_traverse(
+        scene, static, ro, rd, tmin, jnp.full(n, 2.0), any_hit=True)
+    _, _, any_s = packet_tpu.packet_traverse(
+        scene, static, ro, rd, tmin, jnp.full(n, 2.0), any_hit=True,
+        interpret=True, force_streamed=True)
+    np.testing.assert_array_equal(np.asarray(any_s), np.asarray(any_x))
+
+
 def test_packet_any_hit(teapot_flat):
     scene, static = teapot_flat
     n = 256
