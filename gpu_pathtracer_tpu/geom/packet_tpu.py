@@ -48,6 +48,7 @@ fallback.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,11 +57,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-PACKET_W = 1024         # rays per packet = one grid step (ROWS must be
+PACKET_W = int(os.environ.get("PTPU_PACKET_W", "1024"))
+                        # rays per packet = one grid step (ROWS must be
                         # a multiple of 8 — Mosaic block-shape rule)
 ROWS = PACKET_W // LANES
-NSTACK = 256            # node stack: bounded by bvh8 depth * 14 + 16
-LSTACK = 2048           # leaf backlog: pushes <= 16/iter, drains 2/iter
+NSTACK = 512            # node stack: bounded by bvh8 depth * 14 + 16
+LSTACK = 4096           # leaf backlog: pushes <= 16/iter, drains 2/iter
 RESIDENT_MAX_ROWS = 24576   # 12 MB of VMEM for the resident table
 NODE4_MAX_ROWS = 24576      # 12 MB cap on the bf16-packed node rows
                             # (4 nodes/row -> ~98k nodes/MB: ~7M prims)

@@ -395,13 +395,24 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
     n_pairs = n_verts * (n_verts + 1)
 
     def pair_body(p, carry):
-        li, film = carry
         s = p // (n_verts + 1) + 1
         t = p % (n_verts + 1)
-        rng = RngStream(jax.random.fold_in(key, 5000 + p))
-
-        valid = lane_mask & (s <= cam_v.count) & (t <= light_v.count) \
+        # whole-round skip: most (s, t) pairs have NO lane with subpaths
+        # that long (RR keeps typical path counts far below max_depth),
+        # yet each round costs several BSDF evals + a Tr walk. Reference
+        # analog: the strategy loop pathtracer.cu:1948-1968 pays per
+        # thread; here the round is all-lane SIMD so it must be skipped
+        # at whole-round granularity.
+        pre_valid = lane_mask & (s <= cam_v.count) & (t <= light_v.count) \
             & ~((s == 1) & (t <= 1))
+        return jax.lax.cond(
+            jnp.any(pre_valid),
+            lambda c: _pair_round(p, s, t, pre_valid, c),
+            lambda c: c, carry)
+
+    def _pair_round(p, s, t, valid, carry):
+        li, film = carry
+        rng = RngStream(jax.random.fold_in(key, 5000 + p))
 
         # gathered connection vertices (indices clipped; masked lanes
         # compute garbage that is discarded)
