@@ -394,52 +394,53 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
 
     n_pairs = n_verts * (n_verts + 1)
 
-    def pair_body(p, carry):
-        s = p // (n_verts + 1) + 1
-        t = p % (n_verts + 1)
-        # whole-round skip: most (s, t) pairs have NO lane with subpaths
-        # that long (RR keeps typical path counts far below max_depth),
-        # yet each round costs several BSDF evals + a Tr walk. Reference
-        # analog: the strategy loop pathtracer.cu:1948-1968 pays per
-        # thread; here the round is all-lane SIMD so it must be skipped
-        # at whole-round granularity.
-        pre_valid = lane_mask & (s <= cam_v.count) & (t <= light_v.count) \
-            & ~((s == 1) & (t <= 1))
-        return jax.lax.cond(
-            jnp.any(pre_valid),
-            lambda c: _pair_round(p, s, t, pre_valid, c),
-            lambda c: c, carry)
-
-    def _pair_round(p, s, t, valid, carry):
+    def pair_round(p, s, t, case, valid, carry):
+        """One (s, t) connection round, specialized to a STATIC case
+        ('t0' | 't1' | 's1' | 'gen') — the original all-case body did
+        every case's BSDF evals, light/camera sampling AND a film
+        scatter-add per round and selected afterwards; at depth 17 that
+        is 342 rounds x 4 cases x full-lane work with 342 scatters (the
+        scatter alone is tens of ms on TPU). Specialization computes one
+        case per round and scatters only in the n_verts-1 s==1 rounds.
+        Output is bit-identical: the per-(s,t) rng keys (5000+p / 9000+p)
+        are unchanged, each case's math is verbatim, and the MIS pdf
+        overrides of the other cases are provably masked inside
+        _mis_weight (their i-index tests fail for this case's s/t), so
+        NaN stands in for them."""
         li, film = carry
         rng = RngStream(jax.random.fold_in(key, 5000 + p))
+        nanf = jnp.full(n, jnp.nan, jnp.float32)
 
         # gathered connection vertices (indices clipped; masked lanes
         # compute garbage that is discarded)
-        c1p, c1n = _col(cam_v.pos, s - 1), _col(cam_v.nor, s - 1)
-        c2p, c2n = _col(cam_v.pos, s - 2), _col(cam_v.nor, s - 2)
-        c1_beta = _col(cam_v.beta, s - 1)
-        c1_mat_idx = _col(cam_v.mat_idx, s - 1)
-        c1_light = _col(cam_v.light_idx, s - 1)
-        c1_uv = _col(cam_v.uv, s - 1)
-        c1_dpdu = _col(cam_v.dpdu, s - 1)
-        c1_med = _col(cam_v.medium, s - 1)
-        c1_delta = _col(cam_v.delta, s - 1)
-        l1p, l1n = _col(light_v.pos, t - 1), _col(light_v.nor, t - 1)
-        l2p, l2n = _col(light_v.pos, t - 2), _col(light_v.nor, t - 2)
-        l1_beta = _col(light_v.beta, t - 1)
-        l1_mat_idx = _col(light_v.mat_idx, t - 1)
-        l1_uv = _col(light_v.uv, t - 1)
-        l1_dpdu = _col(light_v.dpdu, t - 1)
-        l1_med = _col(light_v.medium, t - 1)
-        l1_delta = _col(light_v.delta, t - 1)
-
-        c1_is_med = c1_mat_idx == -1
-        l1_is_med = l1_mat_idx == -1
-        c1_mat = bsdf_mod.gather_materials(scene, static, c1_mat_idx, c1_uv)
-        l1_mat = bsdf_mod.gather_materials(scene, static, l1_mat_idx, l1_uv)
-        in_c1 = normalize(c2p - c1p)   # toward the camera side
-        in_l1 = normalize(l2p - l1p)   # toward the light side
+        if case in ("t0", "t1", "gen"):
+            c1p, c1n = _col(cam_v.pos, s - 1), _col(cam_v.nor, s - 1)
+            c2p, c2n = _col(cam_v.pos, s - 2), _col(cam_v.nor, s - 2)
+            c1_beta = _col(cam_v.beta, s - 1)
+            c1_mat_idx = _col(cam_v.mat_idx, s - 1)
+            c1_light = _col(cam_v.light_idx, s - 1)
+            c1_uv = _col(cam_v.uv, s - 1)
+            c1_dpdu = _col(cam_v.dpdu, s - 1)
+            c1_med = _col(cam_v.medium, s - 1)
+            c1_delta = _col(cam_v.delta, s - 1)
+            c1_is_med = c1_mat_idx == -1
+            in_c1 = normalize(c2p - c1p)   # toward the camera side
+        if case in ("s1", "gen"):
+            l1p, l1n = _col(light_v.pos, t - 1), _col(light_v.nor, t - 1)
+            l2p, l2n = _col(light_v.pos, t - 2), _col(light_v.nor, t - 2)
+            l1_beta = _col(light_v.beta, t - 1)
+            l1_mat_idx = _col(light_v.mat_idx, t - 1)
+            l1_uv = _col(light_v.uv, t - 1)
+            l1_dpdu = _col(light_v.dpdu, t - 1)
+            l1_med = _col(light_v.medium, t - 1)
+            l1_delta = _col(light_v.delta, t - 1)
+            l1_is_med = l1_mat_idx == -1
+            l1_mat = bsdf_mod.gather_materials(
+                scene, static, l1_mat_idx, l1_uv)
+            in_l1 = normalize(l2p - l1p)   # toward the light side
+        if case in ("t1", "gen"):
+            c1_mat = bsdf_mod.gather_materials(
+                scene, static, c1_mat_idx, c1_uv)
 
         def surf_or_phase(is_med, med_idx, mat, nor, dpdu, w_in, w_out):
             """fr and forward pdf at a vertex: BSDF or phase
@@ -452,130 +453,155 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             pdf = jnp.where(is_med, ph, pdf_s)
             return fr, pdf
 
-        # ==== case t == 0: camera path hit a light (cu:1722-1749) =======
-        dir0 = in_c1
-        le0 = lights_mod.area_light_le(scene, c1_light, c1n, dir0)
-        L0 = c1_beta * le0
-        choice0 = lights_mod.light_choice_pdf(scene, jnp.maximum(c1_light, 0))
-        pdfA0, pdfW0 = lights_mod.area_light_pdf(
-            scene, jnp.maximum(c1_light, 0), dir0, c1n)
-        ov0 = (pdfA0 * choice0, _convert_pdf(pdfW0, c1p, c2p, c2n))
-        valid0 = valid & (c1_light >= 0) & ~is_black(L0)
+        if case == "t0":
+            # ==== case t == 0: camera path hit a light (cu:1722-1749) ====
+            dir0 = in_c1
+            le0 = lights_mod.area_light_le(scene, c1_light, c1n, dir0)
+            L0 = c1_beta * le0
+            choice0 = lights_mod.light_choice_pdf(
+                scene, jnp.maximum(c1_light, 0))
+            pdfA0, pdfW0 = lights_mod.area_light_pdf(
+                scene, jnp.maximum(c1_light, 0), dir0, c1n)
+            case_valid = valid & (c1_light >= 0) & ~is_black(L0)
+            Lpre = L0
+            c1_rev = pdfA0 * choice0
+            c2_rev = _convert_pdf(pdfW0, c1p, c2p, c2n)
+            l1_rev = l2_rev = l0_fwd = nanf
 
-        # ==== case t == 1: NEE from the camera path (cu:1750-1809) ======
-        u_pick = rng.uniform((n,))
-        pick_idx, choice1 = lights_mod.pick_light(scene, u_pick)
-        pick_idx = jnp.minimum(pick_idx, max(static.n_lights - 1, 0))
-        lu1, lu2 = rng.uniform2((n,))
-        rad1, _, sd1, st1, lnor1, lpdf1 = lights_mod.sample_area_light(
-            scene, pick_idx, c1p, lu1, lu2, eps)
-        light_pos1 = c1p + sd1 * (st1 + eps)[:, None]
-        fr1, next_pdf1 = surf_or_phase(
-            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, in_c1, sd1)
-        G1 = jnp.where(c1_is_med, 1.0, jnp.abs(dot(c1n, sd1)))
-        L1pre = c1_beta * fr1 * rad1 * \
-            (G1 / jnp.maximum(lpdf1 * choice1, 1e-30))[:, None]
-        pdfA1, pdfW1 = lights_mod.area_light_pdf(scene, pick_idx, sd1, lnor1)
-        _, rev_pdf1 = surf_or_phase(
-            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, sd1, in_c1)
-        ov1 = (pdfA1 * choice1,                                 # l0 fwd
-               _convert_pdf(next_pdf1, c1p, light_pos1, lnor1),  # l1 rev
-               _convert_pdf(pdfW1, light_pos1, c1p, c1n),        # c1 rev
-               _convert_pdf(rev_pdf1, c1p, c2p, c2n))            # c2 rev
-        valid1 = valid & ~is_black(rad1) & (lpdf1 > 0.0) \
-            & ~(~c1_is_med & c1_delta) & ~is_black(L1pre)
+        if case == "t1":
+            # ==== case t == 1: NEE from the camera path (cu:1750-1809) ===
+            u_pick = rng.uniform((n,))
+            pick_idx, choice1 = lights_mod.pick_light(scene, u_pick)
+            pick_idx = jnp.minimum(pick_idx, max(static.n_lights - 1, 0))
+            lu1, lu2 = rng.uniform2((n,))
+            rad1, _, sd1, st1, lnor1, lpdf1 = lights_mod.sample_area_light(
+                scene, pick_idx, c1p, lu1, lu2, eps)
+            light_pos1 = c1p + sd1 * (st1 + eps)[:, None]
+            fr1, next_pdf1 = surf_or_phase(
+                c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, in_c1, sd1)
+            G1 = jnp.where(c1_is_med, 1.0, jnp.abs(dot(c1n, sd1)))
+            L1pre = c1_beta * fr1 * rad1 * \
+                (G1 / jnp.maximum(lpdf1 * choice1, 1e-30))[:, None]
+            pdfA1, pdfW1 = lights_mod.area_light_pdf(
+                scene, pick_idx, sd1, lnor1)
+            _, rev_pdf1 = surf_or_phase(
+                c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, sd1, in_c1)
+            case_valid = valid & ~is_black(rad1) & (lpdf1 > 0.0) \
+                & ~(~c1_is_med & c1_delta) & ~is_black(L1pre)
+            Lpre = L1pre
+            l0_fwd = pdfA1 * choice1
+            l1_rev = _convert_pdf(next_pdf1, c1p, light_pos1, lnor1)
+            c1_rev = _convert_pdf(pdfW1, light_pos1, c1p, c1n)
+            c2_rev = _convert_pdf(rev_pdf1, c1p, c2p, c2n)
+            l2_rev = nanf
+            sh_o, sh_d, sh_t, sh_med = c1p, sd1, st1, c1_med
 
-        # ==== case s == 1: splat to the camera (cu:1810-1857) ===========
-        _, sd2, st2, we2, cpdf2, rx2, ry2 = camera_mod.sample_camera(
-            cam, l1p, eps)
-        fr2, next_pdf2 = surf_or_phase(
-            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, in_l1, sd2)
-        cos2 = jnp.where(l1_is_med, 1.0, jnp.abs(dot(sd2, l1n)))
-        L2pre = l1_beta * fr2 * \
-            (we2 * cos2 / jnp.maximum(cpdf2, 1e-30))[:, None]
-        _, cam_pdfw2 = camera_mod.pdf_camera(cam, -sd2)
-        _, rev_pdf2 = surf_or_phase(
-            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, sd2, in_l1)
-        cam_pos = jnp.broadcast_to(cam.position, (n, 3))
-        ov2 = (_convert_pdf(cam_pdfw2, cam_pos, l1p, l1n),   # l1 rev
-               _convert_pdf(rev_pdf2, l1p, l2p, l2n))        # l2 rev
-        valid2 = valid & (cpdf2 != 0.0) & ~(~l1_is_med & l1_delta) \
-            & ~is_black(L2pre)
+        if case == "s1":
+            # ==== case s == 1: splat to the camera (cu:1810-1857) ========
+            _, sd2, st2, we2, cpdf2, rx2, ry2 = camera_mod.sample_camera(
+                cam, l1p, eps)
+            fr2, next_pdf2 = surf_or_phase(
+                l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, in_l1, sd2)
+            cos2 = jnp.where(l1_is_med, 1.0, jnp.abs(dot(sd2, l1n)))
+            L2pre = l1_beta * fr2 * \
+                (we2 * cos2 / jnp.maximum(cpdf2, 1e-30))[:, None]
+            _, cam_pdfw2 = camera_mod.pdf_camera(cam, -sd2)
+            _, rev_pdf2 = surf_or_phase(
+                l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, sd2, in_l1)
+            cam_pos = jnp.broadcast_to(cam.position, (n, 3))
+            case_valid = valid & (cpdf2 != 0.0) \
+                & ~(~l1_is_med & l1_delta) & ~is_black(L2pre)
+            Lpre = L2pre
+            l1_rev = _convert_pdf(cam_pdfw2, cam_pos, l1p, l1n)
+            l2_rev = _convert_pdf(rev_pdf2, l1p, l2p, l2n)
+            c1_rev = c2_rev = l0_fwd = nanf
+            sh_o, sh_d, sh_t, sh_med = l1p, sd2, st2, l1_med
 
-        # ==== general case (cu:1858-1927) ================================
-        conn = c1p - l1p
-        d2g = jnp.maximum(dot(conn, conn), 1e-30)
-        l1_to_c1 = conn / jnp.sqrt(d2g)[:, None]
-        c1_to_l1 = -l1_to_c1
-        fr_c1, pdf_to_l1 = surf_or_phase(
-            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, in_c1, c1_to_l1)
-        fr_l1, pdf_to_c1 = surf_or_phase(
-            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, in_l1, l1_to_c1)
-        cos_l = jnp.where(l1_is_med, 1.0, jnp.abs(dot(l1_to_c1, l1n)))
-        cos_c = jnp.where(c1_is_med, 1.0, jnp.abs(dot(c1_to_l1, c1n)))
-        G3 = cos_l * cos_c / d2g
-        L3pre = c1_beta * fr_c1 * fr_l1 * l1_beta * G3[:, None]
-        _, pdf_to_l2 = surf_or_phase(
-            l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, l1_to_c1, in_l1)
-        _, pdf_to_c2 = surf_or_phase(
-            c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, c1_to_l1, in_c1)
-        ov3 = (_convert_pdf(pdf_to_c1, l1p, c1p, c1n),   # c1 rev
-               _convert_pdf(pdf_to_l1, c1p, l1p, l1n),   # l1 rev
-               _convert_pdf(pdf_to_l2, l1p, l2p, l2n),   # l2 rev
-               _convert_pdf(pdf_to_c2, c1p, c2p, c2n))   # c2 rev
-        valid3 = valid & ~(~c1_is_med & c1_delta) \
-            & ~(~l1_is_med & l1_delta) & ~is_black(L3pre)
+        if case == "gen":
+            # ==== general case (cu:1858-1927) ============================
+            conn = c1p - l1p
+            d2g = jnp.maximum(dot(conn, conn), 1e-30)
+            l1_to_c1 = conn / jnp.sqrt(d2g)[:, None]
+            c1_to_l1 = -l1_to_c1
+            fr_c1, pdf_to_l1 = surf_or_phase(
+                c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, in_c1, c1_to_l1)
+            fr_l1, pdf_to_c1 = surf_or_phase(
+                l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, in_l1, l1_to_c1)
+            cos_l = jnp.where(l1_is_med, 1.0, jnp.abs(dot(l1_to_c1, l1n)))
+            cos_c = jnp.where(c1_is_med, 1.0, jnp.abs(dot(c1_to_l1, c1n)))
+            G3 = cos_l * cos_c / d2g
+            L3pre = c1_beta * fr_c1 * fr_l1 * l1_beta * G3[:, None]
+            _, pdf_to_l2 = surf_or_phase(
+                l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, l1_to_c1, in_l1)
+            _, pdf_to_c2 = surf_or_phase(
+                c1_is_med, c1_med, c1_mat, c1n, c1_dpdu, c1_to_l1, in_c1)
+            case_valid = valid & ~(~c1_is_med & c1_delta) \
+                & ~(~l1_is_med & l1_delta) & ~is_black(L3pre)
+            Lpre = L3pre
+            c1_rev = _convert_pdf(pdf_to_c1, l1p, c1p, c1n)
+            l1_rev = _convert_pdf(pdf_to_l1, c1p, l1p, l1n)
+            l2_rev = _convert_pdf(pdf_to_l2, l1p, l2p, l2n)
+            c2_rev = _convert_pdf(pdf_to_c2, c1p, c2p, c2n)
+            l0_fwd = nanf
+            sh_o, sh_d, sh_med = c1p, c1_to_l1, c1_med
+            sh_t = jnp.sqrt(d2g) - eps
 
-        # ---- one shadow ray for the active case -------------------------
-        is_t0 = t == 0
-        is_t1 = t == 1
-        is_s1 = (s == 1) & (t >= 2)
-        case_valid = jnp.where(is_t0, valid0,
-                               jnp.where(is_t1, valid1,
-                                         jnp.where(is_s1, valid2, valid3)))
-        sh_o = jnp.where(is_t1, c1p, jnp.where(is_s1, l1p, c1p))
-        sh_d = jnp.where(is_t1, sd1, jnp.where(is_s1, sd2, c1_to_l1))
-        sh_t = jnp.where(is_t1, st1,
-                         jnp.where(is_s1, st2, jnp.sqrt(d2g) - eps))
-        sh_med = jnp.where(is_s1, l1_med, c1_med)
-        needs_ray = case_valid & ~is_t0
-        tr = media_mod.transmittance(
-            scene, static, sh_med, sh_o, sh_d,
-            jnp.where(needs_ray, sh_t, 0.0),
-            jax.random.fold_in(key, 9000 + p), needs_ray)
-        tr = jnp.where(is_t0, 1.0, tr)
-        case_valid &= ~(~is_t0 & is_black(tr))
+        # ---- one shadow ray (t0 connects along an existing segment, so
+        # its tr was the original's constant 1 — a no-op multiply) -------
+        if case != "t0":
+            tr = media_mod.transmittance(
+                scene, static, sh_med, sh_o, sh_d,
+                jnp.where(case_valid, sh_t, 0.0),
+                jax.random.fold_in(key, 9000 + p), case_valid)
+            case_valid &= ~is_black(tr)
+            Lpre = Lpre * tr
 
         # ---- contribution + MIS -----------------------------------------
-        L = jnp.where(is_t0, L0,
-                      jnp.where(is_t1, L1pre,
-                                jnp.where(is_s1, L2pre, L3pre))) * tr
-        nanf = jnp.full(n, jnp.nan, jnp.float32)
-        c1_rev = jnp.where(is_t0, ov0[0],
-                           jnp.where(is_t1, ov1[2],
-                                     jnp.where(is_s1, nanf, ov3[0])))
-        c2_rev = jnp.where(is_t0, ov0[1],
-                           jnp.where(is_t1, ov1[3],
-                                     jnp.where(is_s1, nanf, ov3[3])))
-        l1_rev = jnp.where(is_t1, ov1[1],
-                           jnp.where(is_s1, ov2[0], ov3[1]))
-        l2_rev = jnp.where(is_s1, ov2[1], ov3[2])
-        l0_fwd = ov1[0]
         mis = _mis_weight(cam_v, light_v, s, t, c1_rev, c2_rev,
                           l1_rev, l2_rev, l0_fwd)
-        L = L * mis[:, None]
+        L = Lpre * mis[:, None]
 
         ok = case_valid & jnp.all(jnp.isfinite(L), axis=-1) & ~is_black(L)
 
         # s==1 -> splat at the sampled raster; else own pixel (cu:1952-1967)
-        splat_idx = jnp.where(ok & is_s1,
-                              rx2 + ry2 * static.width, 0)
-        film = film.at[splat_idx].add(
-            jnp.where((ok & is_s1)[:, None], L, 0.0))
-        li = li + jnp.where((ok & ~is_s1)[:, None], L, 0.0)
+        if case == "s1":
+            splat_idx = jnp.where(ok, rx2 + ry2 * static.width, 0)
+            film = film.at[splat_idx].add(jnp.where(ok[:, None], L, 0.0))
+        else:
+            li = li + jnp.where(ok[:, None], L, 0.0)
         return li, film
 
-    li, film = jax.lax.fori_loop(0, n_pairs, pair_body, (li, film))
+    def run_case(case, s_of, t_of):
+        def body(i, carry):
+            s = s_of(i)
+            t = t_of(i)
+            p = (s - 1) * (n_verts + 1) + t
+            # whole-round skip: rounds where NO lane has subpaths that
+            # long reduce to this predicate (helps small renders; at
+            # production lane counts some lane usually qualifies)
+            pre = lane_mask & (s <= cam_v.count) & (t <= light_v.count)
+            return jax.lax.cond(
+                jnp.any(pre),
+                lambda c: pair_round(p, s, t, case, pre, c),
+                lambda c: c, carry)
+        return body
+
+    carry = (li, film)
+    carry = jax.lax.fori_loop(
+        0, n_verts - 1, run_case("s1", lambda i: i * 0 + 1,
+                                 lambda i: i + 2), carry)
+    if n_verts >= 2:
+        carry = jax.lax.fori_loop(
+            0, n_verts - 1, run_case("t0", lambda i: i + 2,
+                                     lambda i: i * 0), carry)
+        carry = jax.lax.fori_loop(
+            0, n_verts - 1, run_case("t1", lambda i: i + 2,
+                                     lambda i: i * 0 + 1), carry)
+        carry = jax.lax.fori_loop(
+            0, (n_verts - 1) * (n_verts - 1),
+            run_case("gen", lambda i: i // (n_verts - 1) + 2,
+                     lambda i: i % (n_verts - 1) + 2), carry)
+    li, film = carry
 
     bad = jnp.any(~jnp.isfinite(li), axis=-1)
     li = jnp.where(bad[:, None], 0.0, li)
