@@ -102,6 +102,14 @@ def test_renderer_shard_bdpt(cornell_scene):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_renderer_shard_vpt(cornell_scene):
+    """pixel kind with heterogeneous media: the compacted tracking loops
+    (shade/media.py prefix partitions) must be shard-safe too."""
+    a, b = _renderer_pair(cornell_scene, IntegratorType.VPT)
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_renderer_shard_sppm(cornell_scene):
     """sppm kind: sharded visible-point state + photon lanes."""
     a, b = _renderer_pair(cornell_scene, IntegratorType.SPPM,

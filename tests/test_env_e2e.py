@@ -15,6 +15,7 @@ writes one and the full scene->render pipeline reads it back.
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -72,6 +73,44 @@ def test_env_scene_pt_vs_vpt():
         means[integ] = rad.mean()
     ratio = means[IntegratorType.PT] / means[IntegratorType.VPT]
     assert 0.9 < ratio < 1.1, f"PT/VPT mean ratio {ratio:.3f}"
+
+
+@pytest.mark.skipif(
+    "jax.default_backend() != 'tpu'",
+    reason="the fused kernel's core PRNG (prng_seed) has no CPU "
+           "interpret lowering; run on real TPU")
+def test_env_fused_furnace(furnace_scene):
+    """The fused megakernel's env path (escape record + post-kernel texel
+    fetch, BSDF-only env strategy) must pass the same furnace: convex
+    albedo-0.7 sphere under a uniform unit env -> 0.7, misses -> 1."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_pathtracer_tpu.integrators import pt_fused
+    from gpu_pathtracer_tpu.scene.flatten import flatten_scene
+
+    dev, static = flatten_scene(furnace_scene)
+    assert pt_fused.supports(static)
+    size = static.width
+    n = size * size
+    ids = np.arange(n)
+    px = jnp.asarray((ids % size).astype(np.int32))
+    py = jnp.asarray((ids // size).astype(np.int32))
+    acc = np.zeros((n, 3), np.float32)
+    spp = 64
+    for it in range(spp):
+        li = pt_fused.render_lanes(
+            dev, static, jax.random.fold_in(jax.random.PRNGKey(3), it),
+            px, py)
+        acc += np.asarray(li)
+    rad = (acc / spp).reshape(size, size, 3)
+    corner = np.stack([rad[0, 0], rad[0, -1], rad[-1, 0], rad[-1, -1]])
+    np.testing.assert_allclose(corner, 1.0, rtol=1e-3)
+    center = rad[size // 2 - 2:size // 2 + 2,
+                 size // 2 - 2:size // 2 + 2].mean((0, 1))
+    np.testing.assert_allclose(center, 0.7, rtol=0.1)
 
 
 def test_env_rotation_moves_light():

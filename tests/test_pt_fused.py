@@ -212,9 +212,12 @@ def test_supports_gating(cornell):
     dev, static = cornell
     assert F.supports(static)
     assert not F.supports(dataclasses.replace(static, has_textures=True))
-    assert not F.supports(dataclasses.replace(static, has_infinite=True))
+    assert F.supports(dataclasses.replace(static, has_infinite=True))
     assert not F.supports(dataclasses.replace(static, has_bssrdf=True))
     assert F.supports(dataclasses.replace(static, has_lines=True))
     assert not F.supports(dataclasses.replace(static, n_primitives=10000))
+    # env-only scenes (no area lights) are in scope; dark scenes are not
     assert not F.supports(dataclasses.replace(static, n_lights=0))
+    assert F.supports(dataclasses.replace(
+        static, n_lights=0, has_infinite=True))
     assert not F.supports(dataclasses.replace(static, n_primitives=100000))
