@@ -1,10 +1,15 @@
-"""Benchmark harness: Mrays/s (traverse+shade) on cornell_box PT at 1024².
+"""Benchmark harness: Mrays/s (traverse+shade) across the 3 traversal
+regimes. Run on the real TPU (default env). Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Run on the real TPU (default env). Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The headline metric stays cornell_box PT at 1024² (the fused-megakernel
+dense regime, comparable across rounds); the matrix adds the blocked/
+packet regimes the BASELINE's sponza-class target lives in:
+- dragon (100k tris): VMEM-resident Pallas packet walk
+- dragon_forest (1M tris): bf16-packed nodes + HBM-streamed leaves
 
-Baseline (BASELINE.md): the reference publishes no numbers; the target is
->200 Mrays/s per v5e chip, so vs_baseline = value / 200.
+Baseline (BASELINE.md): the reference publishes no numbers; the target
+is >200 Mrays/s per v5e chip, so vs_baseline = value / 200.
 """
 
 from __future__ import annotations
@@ -17,22 +22,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CORNELL = "/root/reference/scenes/cornell_box/scene.json"
+REPO = os.path.dirname(os.path.abspath(__file__))
 TARGET_MRAYS = 200.0
-SIZE = 1024
 MAX_DEPTH = 5
-WARMUP = 2
-ITERS = 8
+
+SCENES = [
+    # (key, path, size, timed iters)
+    ("cornell", "/root/reference/scenes/cornell_box/scene.json", 1024, 8),
+    ("dragon_100k", f"{REPO}/scenes/dragon/scene.json", 512, 4),
+    ("forest_1m", f"{REPO}/scenes/dragon_forest/scene.json", 512, 2),
+]
+
+# BENCH_SMOKE=1: tiny sizes to validate the harness itself (CPU-safe)
+if os.environ.get("BENCH_SMOKE"):
+    SCENES = [(k, p, 32, 1) for k, p, _, _ in SCENES]
 
 
-def main():
+def bench_scene(path, size, iters):
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    from gpu_pathtracer_tpu.run.renderer import enable_compile_cache
-    enable_compile_cache()  # timings exclude compile (warmup), cache
-    # just makes repeated bench runs start fast
 
     from gpu_pathtracer_tpu.core.rng import iteration_key
     from gpu_pathtracer_tpu.integrators import pt
@@ -40,17 +49,17 @@ def main():
     from gpu_pathtracer_tpu.scene.model import IntegratorType
     from gpu_pathtracer_tpu.scene.parse import load_scene
 
-    host = load_scene(CORNELL)
-    host.width = host.height = SIZE
+    host = load_scene(path)
+    host.width = host.height = size
     dev, static = flatten_scene(host)
     static = dataclasses.replace(
         static, integrator=IntegratorType.PT, max_depth=MAX_DEPTH,
-        width=SIZE, height=SIZE)
+        width=size, height=size)
 
-    n = SIZE * SIZE
+    n = size * size
     ids = np.arange(n)
-    px = jnp.asarray((ids % SIZE).astype(np.int32))
-    py = jnp.asarray((ids // SIZE).astype(np.int32))
+    px = jnp.asarray((ids % size).astype(np.int32))
+    py = jnp.asarray((ids // size).astype(np.int32))
 
     @jax.jit
     def step(scene, it):
@@ -65,34 +74,47 @@ def main():
     # warmup (compile) + measure rays/iteration once — the per-bounce
     # count reductions cost ~20% of an iteration, so the timed loop runs
     # the stats-free program
-    rays_iter = 0
-    for i in range(WARMUP):
-        li, rays = step_stats(dev, jnp.int32(i + 1))
-        rays_iter = int(rays)
+    li, rays = step_stats(dev, jnp.int32(1))
+    rays_iter = int(rays)
     li = step(dev, jnp.int32(0))
     li.block_until_ready()
 
     t0 = time.time()
-    for i in range(ITERS):
+    for i in range(iters):
         li = step(dev, jnp.int32(100 + i))
     li.block_until_ready()
-    dt = time.time() - t0
-    total_rays = rays_iter * ITERS
+    dt = (time.time() - t0) / iters
+    return rays_iter / dt / 1e6, 1.0 / dt, rays_iter
 
-    mrays = total_rays / dt / 1e6
-    spp_s = ITERS / dt
-    print(f"# cornell_box PT {SIZE}x{SIZE} depth={MAX_DEPTH}: "
-          f"{spp_s:.3f} spp/s, {total_rays / ITERS / 1e6:.1f} Mrays/iter",
-          file=sys.stderr)
+
+def main():
+    from gpu_pathtracer_tpu.run.renderer import enable_compile_cache
+    enable_compile_cache()  # timings exclude compile (warmup); the cache
+    # makes repeated bench runs start fast
+
+    results = {}
+    for key, path, size, iters in SCENES:
+        mrays, spp_s, rays_iter = bench_scene(path, size, iters)
+        results[key] = (mrays, spp_s)
+        print(f"# {key} PT {size}x{size} depth={MAX_DEPTH}: "
+              f"{spp_s:.3f} spp/s, {mrays:.1f} Mrays/s "
+              f"({rays_iter / 1e6:.1f} Mrays/iter)", file=sys.stderr)
+
+    mrays = results["cornell"][0]
     print(json.dumps({
-        "metric": f"Mrays/s traverse+shade (cornell_box PT {SIZE}x{SIZE} "
+        "metric": f"Mrays/s traverse+shade (cornell_box PT 1024x1024 "
                   f"depth {MAX_DEPTH}, v5e)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
         # the user-facing render speed; Mrays/s undercounts estimator
         # improvements that need FEWER rays per sample
-        "spp_per_s_1024": round(spp_s, 3),
+        "spp_per_s_1024": round(results["cornell"][1], 3),
+        # large-scene regimes (BASELINE sponza-class target)
+        "dragon_100k_mrays": round(results["dragon_100k"][0], 3),
+        "dragon_100k_spp_s_512": round(results["dragon_100k"][1], 3),
+        "forest_1m_mrays": round(results["forest_1m"][0], 3),
+        "forest_1m_spp_s_512": round(results["forest_1m"][1], 3),
     }))
 
 
