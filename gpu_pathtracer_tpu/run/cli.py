@@ -44,6 +44,10 @@ def main(argv=None):
                     help="shard the render over all visible devices "
                          "(jax.sharding.Mesh over the lane axis; no-op "
                          "with a single device)")
+    ap.add_argument("--size", type=int, default=None,
+                    help="override the square render resolution")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="override the scene's maxDepth")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -55,9 +59,14 @@ def main(argv=None):
         integrator = _INTEGRATOR_MAP[args.integrator]
 
     t0 = time.time()
-    r = Renderer(args.scene, tile_size=args.tile, seed=args.seed,
+    scene = args.scene
+    if args.size is not None:
+        from gpu_pathtracer_tpu.scene.parse import load_scene
+        scene = load_scene(scene)
+        scene.width = scene.height = args.size
+    r = Renderer(scene, tile_size=args.tile, seed=args.seed,
                  cache=not args.no_cache, integrator=integrator,
-                 init_radius=args.init_radius,
+                 max_depth=args.depth, init_radius=args.init_radius,
                  photons_per_iteration=args.photons, shard=args.shard)
     print(f"[scene] {r.static.n_primitives} prims, {r.static.n_nodes} BVH "
           f"nodes, {r.width}x{r.height}, integrator={r.static.integrator.name}"
