@@ -84,7 +84,7 @@ GOLDENS = {
         scene=f"{REF_SCENES}/cornell_box/scene.json", integrator="vpt",
         golden=f"{RESULT}/smoke.png", gate=0.035, mask=_smoke_mask),
     "fur": dict(
-        scene=f"{REF_SCENES}/cornell_box/fur.json", integrator="pt",
+        scene=f"{REPO_SCENES}/fur/scene.json", integrator="pt",
         golden=f"{RESULT}/line_example.png", gate=0.05),
     "vol_caustic": dict(
         scene=f"{REF_SCENES}/cornell_box/vol_caustic.json", integrator="vpt",
