@@ -74,7 +74,8 @@ def _safe_inv(d):
                            jnp.where(d >= 0, eps, -eps))
 
 
-def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
+def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
+                 slot_order=False):
     """Dual-stack, branch-free packet walk.
 
     Every while iteration UNCONDITIONALLY processes 2 node rows and
@@ -95,11 +96,11 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
     streamed = n8 is not None
     if streamed:
         (nodes4_hbm, tab_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx,
-         t_out, p_out, tab, nstack, lstack, sps, sem,
-         lbuf, mscr, lsem0, lsem1) = refs
+         t_out, p_out, tab, nstack, lstack, sps, sem, mscr,
+         lbuf, lsem0, lsem1) = refs
     else:
         (tab_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx,
-         t_out, p_out, tab, nstack, lstack, sps, sem) = refs
+         t_out, p_out, tab, nstack, lstack, sps, sem, mscr) = refs
 
     # resident part: one DMA on the first grid step; the scratch
     # persists across grid steps so later packets reuse it
@@ -131,10 +132,7 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
     sps[1] = 0              # leaf stack
     nstack[0] = 0
 
-    # child index -> bit weight, as an [8, 1] column (vector-side OR:
-    # per-child any-flags times distinct powers of two, summed)
-    pow2_col = jnp.left_shift(
-        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
+    BIG = jnp.float32(3.0e38)   # "no push" distance: sorts last
 
     # field extraction: Mosaic cannot shape-cast [1,64]->[8,8] (lanes to
     # sublanes), but it DOES have a lane-axis dynamic gather. Broadcast
@@ -145,14 +143,23 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
     child8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * 8
     child4 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * 4
     slot16 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * 16
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
     HIMASK = jnp.int32(np.int32(np.uint32(0xFFFF0000)))
 
-    def node_tests(row, base_bit, best_t, mask_vec, metas):
+    def node_tests(row, base, best_t):
         """8 child slab tests of one node row: every term is an
         [8 children, 128] x [1, 128] broadcast against a ray ROW — a
         scalar-load + scalar->vector broadcast per field measured
         ~10-15 cycles EACH on v5e (56/node dominated the old step).
-        Hit flags are packed vector-side into bits base_bit+c.
+
+        Returns ([1,128] meta_lane, [1,128] dist_lane): child c's
+        effective meta (0 when unhit/empty) and packet-min entry
+        distance staged at LANE base+c, ready for the vector-side
+        near-first ranking in `body` (sublane->lane move via the
+        iota-select + sum-over-sublanes trick).
 
         STREAMED mode decodes the bf16-packed quarter-row node record:
         each box axis is two directed-rounded bf16s in one f32 bit
@@ -184,6 +191,7 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
             bx1, by1, bz1 = fld(3), fld(4), fld(5)
             metac = fld(6)
         h_any = None
+        dmin = None
         for rr in range(ROWS):
             t1 = (bx0 - rox[rr:rr + 1, :]) * ix[rr:rr + 1, :]
             t2 = (bx1 - rox[rr:rr + 1, :]) * ix[rr:rr + 1, :]
@@ -201,25 +209,25 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
                 & (tn <= best_t[rr:rr + 1, :]) & live[rr:rr + 1, :]
             h = jnp.where(hit, 1, 0)
             h_any = h if h_any is None else jnp.maximum(h_any, h)
+            d = jnp.where(hit, tn, BIG)
+            dmin = d if dmin is None else jnp.minimum(dmin, d)
+        # packet aggregates per child: any-lane hit, min-over-lanes tn
+        h_red = jnp.max(h_any, axis=1, keepdims=True)      # [8, 1]
+        d_red = jnp.min(dmin, axis=1, keepdims=True)       # [8, 1]
         # meta == 0 marks an empty child slot (whose inverted bbox
         # alone does NOT fail the slab test: -inf <= +inf)
-        bits = h_any * jnp.where(metac != 0.0, pow2_col * (1 << base_bit), 0)
-        a = jnp.sum(jnp.max(bits, axis=1, keepdims=True),
-                    axis=0, keepdims=True)
-        mask_vec = a if mask_vec is None else mask_vec + a
-        if streamed:
-            # the packed layout has no static lane for child c's meta;
-            # stage the (lane-uniform) gathered meta vector through a
-            # VMEM scratch so the push loop reads it back at STATIC
-            # [row, 0] addresses as scalars
-            base_r = (base_bit // 8) * 8
-            mscr[pl.ds(base_r, 8), :] = metac
-            for c in range(8):
-                metas.append(mscr[base_r + c, 0].astype(jnp.int32))
-        else:
-            for c in range(8):
-                metas.append(tab[row, c * 8 + 6].astype(jnp.int32))
-        return mask_vec
+        meta_col = metac[:, 0:1]                           # lane-uniform
+        meta_eff = jnp.where((h_red > 0) & (meta_col != 0.0), meta_col, 0.0)
+        d_red = jnp.where(meta_eff != 0.0, d_red, BIG)
+        # sublane->lane: child c's [8,1] packet-aggregate lands at lane
+        # base+c of a [1,128] row (select-by-iota, sum over sublanes —
+        # Mosaic has no shape-cast for this move)
+        sel = lane8 == (sub8 + base)
+        meta_lane = jnp.sum(jnp.where(sel, meta_eff, 0.0),
+                            axis=0, keepdims=True)
+        dist_lane = jnp.sum(jnp.where(sel, d_red, 0.0),
+                            axis=0, keepdims=True)
+        return meta_lane, dist_lane
 
     def leaf_tests_two(rows_2, best_t):
         """All 16 slots of two leaf rows ([1, 128] arrays) vs every ray
@@ -383,32 +391,53 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
         else:
             rows_2 = (tab[pl.ds(l1, 1), :], tab[pl.ds(l2, 1), :])
 
-        metas = []
-        mask_vec = node_tests(n1, 0, best_t, None, metas)
-        mask_vec = node_tests(n2, 8, best_t, mask_vec, metas)
+        meta_l1, dist_l1 = node_tests(n1, 0, best_t)
+        meta_l2, dist_l2 = node_tests(n2, 8, best_t)
         t_cand, p_cand = leaf_tests_two(rows_2, best_t)
         upd = t_cand < jnp.inf   # ok already implies t <= entry best_t
         best_t = jnp.where(upd, t_cand, best_t)
         best_p = jnp.where(upd, p_cand, best_p)
-        if any_hit:
-            nf = jnp.max(jnp.where((best_p < 0.0) & live, 1 << 16, 0),
-                         axis=1, keepdims=True)
-            mask_vec = mask_vec + jnp.max(nf, axis=0, keepdims=True)
 
-        m = jnp.max(mask_vec)        # the ONE vector->scalar sync
+        # NEAR-FIRST ordering of this iteration's <=16 pushes (measured
+        # on the dragon BVH8: 857 -> 186 iters/packet on incoherent
+        # rays, tools/sim_walk.py): rank the candidates by packet-min
+        # entry distance, then push far-to-near so the nearest node
+        # pops first and tightens best_t before the rest are popped.
+        # All vector-side: rank_c = #{j : (dist_j, j) < (dist_c, c)}
+        # is a [16,128] compare + sublane sum; the permuted metas are a
+        # one-hot lane sum scattered to sublane rank_c.
+        meta_lane = meta_l1 + meta_l2        # disjoint lanes 0..15
+        dist_lane = dist_l1 + dist_l2
+        if slot_order:
+            # A/B reference policy: child-slot order (the pre-ordering
+            # kernel's behavior — child 15 popped first)
+            rank = 15 - lane16[0:1, :]
+        else:
+            d16 = jnp.take_along_axis(
+                jnp.broadcast_to(dist_lane, (16, LANES)), sub16, axis=1)
+            lt = (d16 < dist_lane) \
+                | ((d16 == dist_lane) & (sub16 < lane16))
+            rank = jnp.sum(jnp.where(lt, 1, 0), axis=0, keepdims=True)
+        oh = (jnp.broadcast_to(rank, (16, LANES)) == sub16) \
+            & (lane16 < 16)
+        perm = jnp.sum(
+            jnp.where(oh, jnp.broadcast_to(meta_lane, (16, LANES)), 0.0),
+            axis=1, keepdims=True)           # sublane r = meta @ rank r
+        mscr[...] = jnp.broadcast_to(perm, (16, LANES))
+
         # branch-free pushes: ALWAYS store at the stack top, advance the
-        # pointer only when the child's hit bit is set — a `pl.when` per
-        # child measured ~100 ns of branch overhead each (48 of them
-        # dwarfed the actual work); stale writes above sp are never read
+        # pointer only when the candidate is real (meta != 0 folds the
+        # hit flag in) — a `pl.when` per child measured ~100 ns of
+        # branch overhead each; stale writes above sp are never read.
+        # rank 15 (farthest / dummy) pushes first, rank 0 lands on top.
         sn = jnp.minimum(sps[0], NSTACK - 1)
         sl = jnp.minimum(sps[1], LSTACK - 1)
-        for i in range(16):
-            meta = metas[i]
-            f = (m >> i) & 1
+        for r in range(15, -1, -1):
+            meta = mscr[r, 0].astype(jnp.int32)
             nstack[sn] = meta
-            sn = jnp.minimum(sn + f * (meta > 0), NSTACK - 1)
+            sn = jnp.minimum(sn + jnp.where(meta > 0, 1, 0), NSTACK - 1)
             lstack[sl] = -meta
-            sl = jnp.minimum(sl + f * (meta < 0), LSTACK - 1)
+            sl = jnp.minimum(sl + jnp.where(meta < 0, 1, 0), LSTACK - 1)
         sps[0] = sn
         sps[1] = sl
 
@@ -417,7 +446,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
             # the leaf rows now in flight still need their test
             more |= (l1 != ldummy) | (l2 != ldummy)
         if any_hit:
-            more &= (m & (1 << 16)) != 0
+            # one vector->scalar sync: any live lane still unhit?
+            more &= jnp.max(jnp.where((best_p < 0.0) & live, 1, 0)) > 0
         return more, best_t, best_p
 
     if streamed:
@@ -437,9 +467,10 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8):
 
 @functools.partial(
     jax.jit, static_argnames=("has_tri", "has_sph", "has_lin", "any_hit",
-                              "n8", "interpret"))
+                              "n8", "interpret", "slot_order"))
 def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
-                     has_sph, has_lin, any_hit, n8=None, interpret=False):
+                     has_sph, has_lin, any_hit, n8=None, interpret=False,
+                     slot_order=False):
     n = ro.shape[0]
     n_pad = (n + PACKET_W - 1) // PACKET_W * PACKET_W
 
@@ -466,13 +497,13 @@ def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
         pltpu.SMEM((LSTACK,), jnp.int32),
         pltpu.SMEM((2,), jnp.int32),
         pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((16, LANES), jnp.float32),  # rank-permuted push metas
     ]
     inputs = (table,)
     n_tabs = 1
     if n8 is not None:
         scratch += [
             pltpu.VMEM((8, LANES), jnp.float32),   # 2-row leaf DMA buffer
-            pltpu.VMEM((16, LANES), jnp.float32),  # meta staging rows
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
@@ -480,7 +511,7 @@ def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
         n_tabs = 2
     kernel = functools.partial(
         _walk_kernel, has_tri=has_tri, has_sph=has_sph, has_lin=has_lin,
-        any_hit=any_hit, n8=n8)
+        any_hit=any_hit, n8=n8, slot_order=slot_order)
     t, p = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -508,8 +539,13 @@ def supports(scene, static) -> bool:
 
 
 def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
-                    interpret: bool = False, force_streamed: bool = False):
-    """Drop-in for geom.packet.packet_traverse on the TPU backend."""
+                    interpret: bool = False, force_streamed: bool = False,
+                    slot_order: bool = False):
+    """Drop-in for geom.packet.packet_traverse on the TPU backend.
+
+    slot_order=True selects the unordered push policy (A/B baseline for
+    tools/bench_walkcost.py); the default near-first ordering is always
+    better or equal (tools/sim_walk.py)."""
     n = ro.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)
@@ -521,4 +557,4 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
         scene.bvh8_table, scene.bvh8_nodes4, ro, rd, tmin_b, tmax_b,
         has_tri=static.has_triangles, has_sph=static.has_spheres,
         has_lin=static.has_lines, any_hit=any_hit, n8=n8,
-        interpret=interpret)
+        interpret=interpret, slot_order=slot_order)

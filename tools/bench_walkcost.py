@@ -72,27 +72,37 @@ def main():
         "random sortkey": (rro[p], rrd[p]),
     }
 
-    @jax.jit
-    def walk(ro_, rd_):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("slot",))
+    def walk(ro_, rd_, slot=False):
         t, pr, _ = packet_tpu.packet_traverse(
-            dev, static, ro_, rd_, 1e-3, jnp.inf, any_hit=False)
+            dev, static, ro_, rd_, 1e-3, jnp.inf, any_hit=False,
+            slot_order=slot)
         return t, pr
 
-    # compile + warm
+    # compile + warm both policies
     args = {k: (jnp.asarray(a), jnp.asarray(b)) for k, (a, b) in cases.items()}
     for k, (a, b) in args.items():
-        jax.block_until_ready(walk(a, b))
+        ref = jax.block_until_ready(walk(a, b, slot=True))
+        new = jax.block_until_ready(walk(a, b, slot=False))
+        agree = float(jnp.mean((ref[1] == new[1]).astype(jnp.float32)))
+        print(f"{k:20s}: prim-id agreement {agree:.6f}", flush=True)
 
     REPS = 6
-    best = {k: 1e9 for k in cases}
+    best = {(k, s): 1e9 for k in cases for s in (True, False)}
     for _ in range(REPS):
         for k, (a, b) in args.items():
-            t0 = time.perf_counter()
-            jax.block_until_ready(walk(a, b))
-            best[k] = min(best[k], time.perf_counter() - t0)
-    for k, v in best.items():
-        print(f"{k:20s}: {v * 1e3:8.2f} ms  ({n / v / 1e6:7.1f} Mrays/s)",
-              flush=True)
+            for s in (True, False):
+                t0 = time.perf_counter()
+                jax.block_until_ready(walk(a, b, slot=s))
+                best[(k, s)] = min(best[(k, s)],
+                                   time.perf_counter() - t0)
+    for k in cases:
+        vs, vn = best[(k, True)], best[(k, False)]
+        print(f"{k:20s}: slot {vs * 1e3:8.2f} ms ({n / vs / 1e6:7.1f} Mr/s)"
+              f"  near {vn * 1e3:8.2f} ms ({n / vn / 1e6:7.1f} Mr/s)"
+              f"  x{vs / vn:.2f}", flush=True)
 
 
 if __name__ == "__main__":
