@@ -75,7 +75,7 @@ def _safe_inv(d):
 
 
 def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
-                 slot_order=False):
+                 slot_order=False, rows=ROWS):
     """Dual-stack, branch-free packet walk.
 
     Every while iteration UNCONDITIONALLY processes 2 node rows and
@@ -118,6 +118,9 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     ix = _safe_inv(rdx)
     iy = _safe_inv(rdy)
     iz = _safe_inv(rdz)
+    oix = rox * ix          # hoisted o*inv: slab planes become FMAs
+    oiy = roy * iy
+    oiz = roz * iz
     live = tmax > 0.0       # padded lanes carry tmax <= 0
     if streamed:
         # node ids decode as (row id>>2, quarter id&3); the packed
@@ -192,17 +195,20 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
             metac = fld(6)
         h_any = None
         dmin = None
-        for rr in range(ROWS):
-            t1 = (bx0 - rox[rr:rr + 1, :]) * ix[rr:rr + 1, :]
-            t2 = (bx1 - rox[rr:rr + 1, :]) * ix[rr:rr + 1, :]
+        for rr in range(rows):
+            # slab planes as FMAs: box*inv - o*inv, with o*inv hoisted
+            # out of the while loop (oix/oiy/oiz) — one VPU op per
+            # plane instead of sub+mul
+            t1 = bx0 * ix[rr:rr + 1, :] - oix[rr:rr + 1, :]
+            t2 = bx1 * ix[rr:rr + 1, :] - oix[rr:rr + 1, :]
             tn = jnp.minimum(t1, t2)
             tf = jnp.maximum(t1, t2)
-            t1 = (by0 - roy[rr:rr + 1, :]) * iy[rr:rr + 1, :]
-            t2 = (by1 - roy[rr:rr + 1, :]) * iy[rr:rr + 1, :]
+            t1 = by0 * iy[rr:rr + 1, :] - oiy[rr:rr + 1, :]
+            t2 = by1 * iy[rr:rr + 1, :] - oiy[rr:rr + 1, :]
             tn = jnp.maximum(tn, jnp.minimum(t1, t2))
             tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            t1 = (bz0 - roz[rr:rr + 1, :]) * iz[rr:rr + 1, :]
-            t2 = (bz1 - roz[rr:rr + 1, :]) * iz[rr:rr + 1, :]
+            t1 = bz0 * iz[rr:rr + 1, :] - oiz[rr:rr + 1, :]
+            t2 = bz1 * iz[rr:rr + 1, :] - oiz[rr:rr + 1, :]
             tn = jnp.maximum(tn, jnp.minimum(t1, t2))
             tf = jnp.minimum(tf, jnp.maximum(t1, t2))
             hit = (tf > 1e-5) & (tn <= tf) \
@@ -249,7 +255,7 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                 pid=g(12), valid=g(13)))
         t_rows = []
         p_rows = []
-        for rr in range(ROWS):
+        for rr in range(rows):
             ro_x = rox[rr:rr + 1, :]
             ro_y = roy[rr:rr + 1, :]
             ro_z = roz[rr:rr + 1, :]
@@ -467,12 +473,13 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
 
 @functools.partial(
     jax.jit, static_argnames=("has_tri", "has_sph", "has_lin", "any_hit",
-                              "n8", "interpret", "slot_order"))
+                              "n8", "interpret", "slot_order", "packet_w"))
 def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
                      has_sph, has_lin, any_hit, n8=None, interpret=False,
-                     slot_order=False):
+                     slot_order=False, packet_w=PACKET_W):
     n = ro.shape[0]
-    n_pad = (n + PACKET_W - 1) // PACKET_W * PACKET_W
+    rows = packet_w // LANES
+    n_pad = (n + packet_w - 1) // packet_w * packet_w
 
     def prep(a):
         return jnp.pad(a, (0, n_pad - n)).reshape(-1, LANES)
@@ -481,11 +488,11 @@ def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
              prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
              prep(jnp.broadcast_to(tmin, (n,))),
              prep(jnp.broadcast_to(tmax, (n,)))]
-    g = n_pad // PACKET_W
+    g = n_pad // packet_w
 
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
@@ -511,7 +518,7 @@ def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
         n_tabs = 2
     kernel = functools.partial(
         _walk_kernel, has_tri=has_tri, has_sph=has_sph, has_lin=has_lin,
-        any_hit=any_hit, n8=n8, slot_order=slot_order)
+        any_hit=any_hit, n8=n8, slot_order=slot_order, rows=rows)
     t, p = pl.pallas_call(
         kernel,
         grid=(g,),

@@ -125,6 +125,25 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
     prev_pdf = jnp.ones(n, jnp.float32)
     lane_id = jnp.arange(n, dtype=jnp.int32)
 
+    if do_sort:
+        # primary rays arrive in raster order: long scanlines that
+        # union wide BVH subtrees per packet. A 2-D pixel-morton
+        # shuffle tiles each packet into a compact screen square —
+        # measured 13.7 -> 7.6 iters/packet on the dragon primaries
+        # (tools/sim_walk.py; _sort_key is no help here because all
+        # primaries share one origin cell). All other lane state is
+        # still uniform at this point; the final lane_id sort undoes
+        # the shuffle.
+        mkey = jnp.zeros(n, jnp.int32)
+        for b in range(10):
+            mkey = mkey | (((pixel_x >> b) & 1) << (2 * b)) \
+                | (((pixel_y >> b) & 1) << (2 * b + 1))
+        (_, rox, roy, roz, rdx, rdy, rdz, lane_id) = jax.lax.sort(
+            (mkey, ro[:, 0], ro[:, 1], ro[:, 2],
+             rd[:, 0], rd[:, 1], rd[:, 2], lane_id), num_keys=1)
+        ro = jnp.stack([rox, roy, roz], axis=-1)
+        rd = jnp.stack([rdx, rdy, rdz], axis=-1)
+
     def bounce(carry, bounce_idx):
         ro, rd, li, beta, specular, alive, prev_pdf, lane_id = carry
         rng = RngStream(jax.random.fold_in(key, 1000 + bounce_idx))

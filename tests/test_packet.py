@@ -94,6 +94,25 @@ def test_packet_tpu_kernel_matches_xla_walk(teapot_flat):
     np.testing.assert_array_equal(np.asarray(any_k), np.asarray(any_x))
 
 
+def test_packet_tpu_push_order_invariant(teapot_flat):
+    """Near-first ordering is a traversal-schedule change only: results
+    must match the unordered (slot_order) policy exactly."""
+    from gpu_pathtracer_tpu.geom import packet_tpu
+    scene, static = teapot_flat
+    n = 1024
+    ro, rd = _rays(n, scene, seed=11)
+    tmin = jnp.full(n, 1e-3)
+    tmax = jnp.full(n, np.inf)
+    t_n, prim_n, found_n = packet_tpu.packet_traverse(
+        scene, static, ro, rd, tmin, tmax, any_hit=False, interpret=True)
+    t_s, prim_s, found_s = packet_tpu.packet_traverse(
+        scene, static, ro, rd, tmin, tmax, any_hit=False, interpret=True,
+        slot_order=True)
+    np.testing.assert_array_equal(np.asarray(found_n), np.asarray(found_s))
+    np.testing.assert_array_equal(np.asarray(prim_n), np.asarray(prim_s))
+    np.testing.assert_array_equal(np.asarray(t_n), np.asarray(t_s))
+
+
 def test_pack_nodes4_conservative(teapot_flat):
     """The bf16-packed node boxes must CONTAIN the f32 boxes (mins
     rounded down, maxs up) and carry identical metas."""
