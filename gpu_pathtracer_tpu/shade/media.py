@@ -357,6 +357,42 @@ def _compact_partition(need):
     return src, need_count
 
 
+def _compact_sort(need, weight):
+    """Active lanes first, HEAVIEST first, via a stable 2-operand sort.
+
+    The chunked tracking loops run `ceil(max_total_in_slice / KSEG)`
+    iterations at full slice width, so one thick-plume lane makes every
+    light lane in its slice idle for the whole walk (measured: a 262k
+    transmittance call through the cornell smoke = 262 ms, ~95% of it
+    this idle work). Ordering actives by expected candidate count packs
+    the heavy lanes into the narrow leading slice and lets the wide
+    light slices retire in a few chunks. A 2-operand lax.sort compiles
+    in seconds and runs ~0.1 ms at 262k (unlike wide-payload sorts —
+    see CLAUDE.md); the payload moves by row gathers as before.
+
+    Estimator note: chunk-loop uniforms are drawn by compacted POSITION,
+    so re-ordering permutes which iid draw a lane sees — statistically
+    identical, not bit-identical with the previous partition order.
+
+    Returns (src, need_count): src[p] = source lane at position p.
+    """
+    n = need.shape[0]
+    key = jnp.where(need, -weight, jnp.float32(3.0e38))
+    _, src = jax.lax.sort(
+        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    return src, jnp.sum(need.astype(jnp.int32))
+
+
+def _track_slices(n):
+    """Slice ladder for the SORTED tracking loops: [n/8, n/4, rest].
+    Descending-weight order means the first (narrow) slice carries the
+    heavy walkers; each extra slice costs another compiled loop body,
+    so three is the measured compile-time compromise."""
+    s = [n // 8, n // 4]
+    s.append(n - sum(s))
+    return [x for x in s if x > 0]
+
+
 def _cumsum_lanes(x):
     """Inclusive cumsum of an i32 [N] via a [rows, 128] two-level pass —
     XLA's 1-D lax.cumsum lowers to a serialized form on TPU (~80 ms at
@@ -410,11 +446,15 @@ def _sample_tracking(scene, med, ro_h, rd, tmax_h, key, is_het):
     packed = jnp.concatenate(
         [ro_h, rd, tmax_h[:, None],
          med["idx"].astype(jnp.float32)[:, None]], axis=1)
-    src, need_count = _compact_partition(need)
+    # weight = expected candidates under the global majorant: groups
+    # heavy walkers into the narrow leading slice (see _compact_sort)
+    maxd = 1.0 / jnp.maximum(med["inv_max_density"], 1e-30)
+    src, need_count = _compact_sort(
+        need, _luma_sigma(med["sigma_t"]) * maxd * tmax_h)
 
     found_t = jnp.full(n, jnp.inf)
     start = 0
-    for slice_i, size in enumerate(_prefix_slices(n)):
+    for slice_i, size in enumerate(_track_slices(n)):
         sel = src[start:start + size]
 
         def run(_, sel=sel, slice_i=slice_i, size=size):
@@ -550,16 +590,18 @@ def _tr_tracking(scene, med, ro_h, rd, tmax_h, ce, max_density, ett, key,
             ce, ett, jax.random.fold_in(kkey, 2000))
         return jnp.where(need, tr_d, 1.0)
 
-    # see _sample_tracking: majorants/counts computed per prefix slice
+    # see _sample_tracking: majorants/counts computed per prefix slice,
+    # actives sorted heaviest-first so slice trip counts stay tight
     need = is_het & (tmax_h > 0.0)
     packed = jnp.concatenate(
         [ro_h, rd, tmax_h[:, None],
          med["idx"].astype(jnp.float32)[:, None]], axis=1)
-    src, need_count = _compact_partition(need)
+    src, need_count = _compact_sort(
+        need, _luma_sigma(med["sigma_t"]) * max_density * tmax_h)
 
     tr_d = jnp.ones(n)
     start = 0
-    for slice_i, size in enumerate(_prefix_slices(n)):
+    for slice_i, size in enumerate(_track_slices(n)):
         sel = src[start:start + size]
 
         def run(_, sel=sel, slice_i=slice_i, size=size):
