@@ -38,6 +38,25 @@ from gpu_pathtracer_tpu.scene.model import MediumType
 
 TR_MAX_SEGMENTS = 8   # interface-crossing budget for the Tr walker
 
+# Force the TPU compaction path on other backends (tests): the compacted
+# sorted-slice tracking is TPU-only by default because CPU/GPU gathers are
+# already vectorized; without this flag it would have zero CPU test
+# coverage.
+FORCE_COMPACT = False
+
+
+def _use_compaction():
+    return FORCE_COMPACT or jax.default_backend() == "tpu"
+
+
+# Flat candidate work-queue (see _flat_candidate_loop). False falls back
+# to the per-lane [m, KSEG] chunk loops, which gather a full KSEG-wide
+# density row block per lane per iteration regardless of how few
+# candidates a lane actually drew (measured ~18% valid slots on the
+# cornell smoke at 262k lanes — the flat queue gathers only real
+# candidates).
+FLAT_QUEUE = True
+
 
 def gather_medium(scene, med_idx):
     """Per-lane medium record from a packed fetch. med_idx may be -1
@@ -208,6 +227,50 @@ def _segment_majorants(scene, med, ro, rd, tmax):
     return jnp.where(local_ok[:, None], maj, maxd[:, None])
 
 
+def _bf16_up(x):
+    """Round x up to the bf16 grid (result >= x, exactly representable).
+    Majorants are quantized with this BEFORE Poisson rates are drawn so
+    the candidate rate and the acceptance test use the same number — a
+    rounded-DOWN majorant would make dens/maj exceed 1 and bias Tr."""
+    y = x.astype(jnp.bfloat16).astype(jnp.float32)
+    bumped = (x * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16).astype(
+        jnp.float32)
+    return jnp.where(y < x, bumped, y)
+
+
+def _pack_u16_pairs(c):
+    """[m, 2k] i32 (values < 65536) -> [m, k] f32 carrying u16 pairs."""
+    lo = c[:, 0::2].astype(jnp.uint32)
+    hi = c[:, 1::2].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.float32)
+
+
+def _unpack_u16_pairs(p):
+    """[n, k] f32 -> [n, 2k] i32 (inverse of _pack_u16_pairs)."""
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    lo = (u & 0xFFFF).astype(jnp.int32)
+    hi = (u >> 16).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[0], -1)
+
+
+def _pack_bf16_pairs(x):
+    """[m, 2k] f32 (bf16-exact values) -> [m, k] f32 carrying bf16 pairs."""
+    b = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        b[:, 0::2] | (b[:, 1::2] << 16), jnp.float32)
+
+
+def _unpack_bf16_pairs(p):
+    """[n, k] f32 -> [n, 2k] f32 (inverse of _pack_bf16_pairs)."""
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[0], -1)
+
+
 def _select_by_segment(table, seg_of):
     """table [N, NSEG] picked at seg_of [N, K] -> [N, K] WITHOUT a gather:
     XLA lowers take_along_axis to a serialized per-element gather (~50 ms
@@ -262,6 +325,149 @@ def _chunk_density(scene, med, ro, rd, pos_t, valid):
 
 def _luma_sigma(sigma_t):
     return jnp.maximum(jnp.sum(sigma_t * LUMA, axis=-1), 1e-12)
+
+
+def _flat_candidate_loop(scene, ro_h, rd, seg_len, ccum, maj_q, ce, ett,
+                         med, kkey, mode):
+    """Flat work-queue over ALL tracking candidates of one slice.
+
+    The chunked loops gather a [m, KSEG] density block per iteration —
+    every lane pays KSEG row fetches per chunk even when it drew 1
+    candidate (~18% of gathered rows were real candidates on the cornell
+    smoke). Here candidates are laid out as one flat lane-ordered queue
+    of T = sum(counts) slots and consumed in FK-wide chunks, so the
+    density gather count equals the actual candidate count (padding only
+    in the final chunk).
+
+    Per chunk, slot->lane decoding uses no per-element gathers: the lane
+    window is a contiguous `dynamic_slice` of the exclusive-cumsum base
+    table (every queued lane has >= 1 candidate, so FK slots span <= FK
+    lanes), lane ids come from a ones-scatter + lane-cumsum of the
+    window's start positions, and the candidate's segment comes from the
+    lane's per-segment ccum row, u16-packed into the same 32-wide row
+    fetch as the ray data (x32 row gathers are in the measured-fast
+    class; the 43-wide raw ccum is not). Majorants ride a second x32 row
+    as bf16 pairs — quantized UP (`_bf16_up`) before the Poisson rates
+    were drawn, so rate and acceptance use identical numbers.
+
+    mode "tr": returns exp(sum log factors) per lane (the delta / ratio /
+    residual product, medium.h:64-131; a hit contributes -1e30 so delta
+    goes exactly black). The chunked path's mid-walk Russian roulette is
+    deliberately dropped: it existed to bound walk length, the queue is
+    already bounded, and the plain product is the same expectation at
+    strictly lower variance.
+    mode "sample": returns the first accepted collision t per lane
+    (+inf if none) — the min over accepted candidates, identical in
+    distribution to the sequential walk (medium.h:133-157).
+
+    Returns [m] in slice order; lanes with zero candidates get 1 / +inf.
+    """
+    m = ro_h.shape[0]
+    FK = int(min(65536, max(1024, 4 * m)))
+    FKW = FK + 128
+    sample_mode = mode == "sample"
+
+    total = ccum[:, -1]
+    qsrc, _ = _compact_partition(total > 0)
+
+    rowA = jnp.concatenate([
+        ro_h, rd, seg_len[:, None],
+        med["idx"].astype(jnp.float32)[:, None],
+        ce[:, None], ett.astype(jnp.float32)[:, None],
+        _pack_u16_pairs(ccum[:, 1:]),
+        jnp.zeros((m, 1), jnp.float32)], axis=1)          # [m, 32]
+    rowB = jnp.concatenate([
+        _pack_bf16_pairs(maj_q), med["p0"], med["p1"],
+        med["n"].astype(jnp.float32),
+        jnp.zeros((m, 2), jnp.float32)], axis=1)          # [m, 32]
+    rowA = jnp.take(rowA, qsrc, axis=0)
+    rowB = jnp.take(rowB, qsrc, axis=0)
+    # per-lane total == ccum[NSEG], packed as the hi half of pair 20
+    total_c = (jax.lax.bitcast_convert_type(rowA[:, 30], jnp.uint32)
+               >> 16).astype(jnp.int32)
+    csum = _cumsum_lanes(total_c)
+    base = csum - total_c                                  # exclusive
+    T = csum[-1]
+    base_pad = jnp.concatenate(
+        [base, jnp.full(FKW, 1 << 30, jnp.int32)])
+
+    iota = jnp.arange(FK, dtype=jnp.int32)
+    iota_w = jnp.arange(FKW, dtype=jnp.int32)
+    acc0 = jnp.full(m, jnp.inf) if sample_mode else jnp.zeros(m)
+
+    def cond(state):
+        return state[0] < T
+
+    def body(state):
+        A, lane_lo, acc, c = state
+        ckey = jax.random.fold_in(kkey, 600 + c)
+        # ---- slot -> (lane, segment, ordinal) decode, gather-free ----
+        win = jax.lax.dynamic_slice(base_pad, (lane_lo,), (FKW,))
+        rel = win - A
+        ok = (iota_w >= 1) & (rel >= 0) & (rel < FK)
+        ones = jnp.zeros(FK, jnp.int32).at[
+            jnp.clip(rel, 0, FK - 1)].add(ok.astype(jnp.int32))
+        incr = _cumsum_lanes(ones)
+        lane_of = jnp.clip(lane_lo + incr, 0, m - 1)
+        start_pos = jnp.where(ones > 0, iota, -1)
+        cm = jax.lax.cummax(start_pos)
+        base_of = jnp.where(cm >= 0, A + cm, win[0])
+        f = A + iota
+        valid = f < T
+        j_ord = f - base_of
+
+        ra = jnp.take(rowA, lane_of, axis=0)
+        rb = jnp.take(rowB, lane_of, axis=0)
+        ccum_all = _unpack_u16_pairs(ra[:, 10:31])         # [FK, 42]
+        seg_of = jnp.sum((j_ord[:, None] >= ccum_all).astype(jnp.int32),
+                         axis=1)
+        maj_all = _unpack_bf16_pairs(rb[:, 0:21])          # [FK, 42]
+        maj_of = jnp.zeros(FK, jnp.float32)
+        for s_i in range(NSEG):
+            maj_of = jnp.where(seg_of == s_i, maj_all[:, s_i], maj_of)
+
+        s_ro, s_rd = ra[:, 0:3], ra[:, 3:6]
+        s_len = ra[:, 6]
+        s_mi = ra[:, 7].astype(jnp.int32)
+        s_ce = ra[:, 8]
+        s_ett = ra[:, 9].astype(jnp.int32)
+        p0, p1, n_f = rb[:, 21:24], rb[:, 24:27], rb[:, 27:30]
+
+        u_pos = jax.random.uniform(jax.random.fold_in(ckey, 0), (FK,))
+        u_acc = jax.random.uniform(jax.random.fold_in(ckey, 1), (FK,))
+        pos_t = (seg_of.astype(jnp.float32) + u_pos) * s_len
+        p = s_ro + s_rd * pos_t[:, None]
+        pos_norm = (p - p0) / jnp.maximum(p1 - p0, 1e-30)
+        pos_norm = jnp.where(valid[:, None], pos_norm, 0.5)
+        dens = _density_oct(scene, jnp.where(valid, s_mi, 0), n_f,
+                            pos_norm)
+
+        if sample_mode:
+            accept = valid & (dens > u_acc * maj_of)
+            acc = acc.at[lane_of].min(jnp.where(accept, pos_t, jnp.inf))
+        else:
+            rate_of = jnp.where(s_ett == 2,
+                                jnp.maximum(maj_of, s_ce), maj_of)
+            hit = dens > u_acc * maj_of
+            lf_ratio = jnp.log(jnp.maximum(
+                1.0 - dens / jnp.maximum(maj_of, 1e-30), 1e-30))
+            lf_res = jnp.log(jnp.maximum(
+                1.0 - (dens - s_ce) / jnp.maximum(rate_of, 1e-30),
+                1e-30))
+            logf = jnp.where(
+                s_ett == 0,
+                jnp.where(hit, jnp.float32(-1e30), 0.0),
+                jnp.where(s_ett == 1, lf_ratio, lf_res))
+            acc = acc.at[lane_of].add(jnp.where(valid, logf, 0.0))
+        return A + FK, lane_lo + incr[FK - 1], acc, c + 1
+
+    _, _, acc, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), acc0,
+         jnp.zeros((), jnp.int32)))
+
+    res = acc if sample_mode else jnp.exp(jnp.minimum(acc, 80.0))
+    return jnp.zeros(m, res.dtype).at[qsrc].set(res, unique_indices=True)
 
 
 def medium_sample(scene, static, med_idx, ro, rd, tmax, key, active):
@@ -427,7 +633,7 @@ def _sample_tracking(scene, med, ro_h, rd, tmax_h, key, is_het):
     n = ro_h.shape[0]
     kkey = jax.random.fold_in(key, 77)
 
-    if jax.default_backend() != "tpu":
+    if not _use_compaction():
         # CPU/GPU gathers are vectorized; compaction only pays on TPU
         maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
         counts, ccum, seg_len = _segment_counts(
@@ -464,10 +670,18 @@ def _sample_tracking(scene, med, ro_h, rd, tmax_h, key, is_het):
             s_tmax = sp[:, 6]
             s_med = gather_medium(scene, sp[:, 7].astype(jnp.int32))
             s_maj = _segment_majorants(scene, s_med, s_ro, s_rd, s_tmax)
+            if FLAT_QUEUE:
+                s_maj = _bf16_up(s_maj)
             _, s_ccum, s_seg_len = _segment_counts(
                 scene, s_med, s_ro, s_rd, s_tmax, s_maj,
                 jax.random.fold_in(kkey, 3000 + slice_i),
                 jnp.ones(size, bool))
+            if FLAT_QUEUE:
+                zc = jnp.zeros(size, jnp.float32)
+                return _flat_candidate_loop(
+                    scene, s_ro, s_rd, s_seg_len, s_ccum, s_maj, zc,
+                    s_med["ett"], s_med,
+                    jax.random.fold_in(kkey, 1000 + slice_i), "sample")
             return _sample_chunk_loop(
                 scene, s_med, s_ro, s_rd, s_seg_len, s_ccum[:, -1],
                 s_ccum, s_maj, jax.random.fold_in(kkey, 1000 + slice_i))
@@ -576,7 +790,7 @@ def _tr_tracking(scene, med, ro_h, rd, tmax_h, ce, max_density, ett, key,
     n = ro_h.shape[0]
     kkey = jax.random.fold_in(key, 88)
 
-    if jax.default_backend() != "tpu":
+    if not _use_compaction():
         maj = _segment_majorants(scene, med, ro_h, rd, tmax_h)
         rate = jnp.where((ett == 2)[:, None],
                          jnp.maximum(maj, ce[:, None]), maj)
@@ -611,6 +825,8 @@ def _tr_tracking(scene, med, ro_h, rd, tmax_h, ce, max_density, ett, key,
             s_tmax = sp[:, 6]
             s_med = gather_medium(scene, sp[:, 7].astype(jnp.int32))
             s_maj = _segment_majorants(scene, s_med, s_ro, s_rd, s_tmax)
+            if FLAT_QUEUE:
+                s_maj = _bf16_up(s_maj)
             s_maxd = 1.0 / jnp.maximum(s_med["inv_max_density"], 1e-30)
             s_ce = 0.5 * s_maxd
             s_ett = s_med["ett"]
@@ -620,6 +836,11 @@ def _tr_tracking(scene, med, ro_h, rd, tmax_h, ce, max_density, ett, key,
                 scene, s_med, s_ro, s_rd, s_tmax, s_rate,
                 jax.random.fold_in(kkey, 4000 + slice_i),
                 jnp.ones(size, bool))
+            if FLAT_QUEUE:
+                return _flat_candidate_loop(
+                    scene, s_ro, s_rd, s_seg_len, s_ccum, s_maj, s_ce,
+                    s_ett, s_med,
+                    jax.random.fold_in(kkey, 2000 + slice_i), "tr")
             return _tr_chunk_loop(
                 scene, s_med, s_ro, s_rd, s_seg_len, s_ccum[:, -1],
                 s_ccum, s_maj, s_rate, s_ce, s_ett,
@@ -704,7 +925,7 @@ def transmittance(scene, static, med_idx, ro, rd, tmax, key, active):
     traversal and tracking work.
     """
     n = ro.shape[0]
-    if jax.default_backend() == "tpu":
+    if _use_compaction():
         need = active & (tmax > 0.0)
         packed = jnp.concatenate(
             [ro, rd, tmax[:, None],

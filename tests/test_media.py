@@ -129,6 +129,52 @@ def test_compact_partition_roundtrip():
     assert np.array_equal(np.sort(src_np), np.arange(n))
 
 
+def test_compacted_tracking_matches_plain(cornell_dev, monkeypatch):
+    """The TPU compaction path (sorted slices + cond-gated chunk loops)
+    must estimate the same expectations as the plain full-batch path —
+    it is TPU-only in production, so this is its sole CPU coverage.
+
+    Lanes are a mix of plume-crossing, missing, and inactive so the
+    partition/sort/scatter plumbing is actually exercised.
+    """
+    dev, static = cornell_dev
+    n = 16384
+    het, ro, rd, tmax = _het_setup(dev, n)
+    rng = np.random.default_rng(11)
+    act = jnp.asarray(rng.random(n) < 0.4)          # sparse actives
+    miss = jnp.asarray(rng.random(n) < 0.3)         # some rays skip the box
+    rd = jnp.where(miss[:, None], jnp.asarray([1.0, 0.0, 0.0]), rd)
+    med_idx = jnp.where(act, het, -1).astype(jnp.int32)
+
+    results = {}
+    for forced in (False, True):
+        monkeypatch.setattr(media, "FORCE_COMPACT", forced)
+        tr = media.transmittance(
+            dev, static, med_idx, ro, rd, tmax, jax.random.PRNGKey(9),
+            act)
+        w, t, sampled = media.medium_sample(
+            dev, static, med_idx, ro, rd, tmax, jax.random.PRNGKey(10),
+            act)
+        results[forced] = (np.asarray(tr), np.asarray(t),
+                           np.asarray(sampled), np.asarray(w))
+
+    trs = {k: v[0] for k, v in results.items()}
+    # inactive lanes untouched in both paths
+    act_np = np.asarray(act)
+    assert np.all(trs[True][~act_np] == 1.0)
+    assert np.all(trs[False][~act_np] == 1.0)
+    # same expectation on the tracked lanes (different iid draws)
+    m0 = trs[False][act_np, 0].mean()
+    m1 = trs[True][act_np, 0].mean()
+    assert abs(m0 - m1) < 0.03, (m0, m1)
+    # distance sampler: escape prob and mean collision distance agree
+    for col in (1, 2):
+        s0 = results[False][col][act_np].astype(np.float64)
+        s1 = results[True][col][act_np].astype(np.float64)
+        assert abs(s0.mean() - s1.mean()) / max(abs(s0.mean()), 1e-6) \
+            < 0.05, (col, s0.mean(), s1.mean())
+
+
 def test_cumsum_lanes_matches_cumsum():
     import numpy as np
     import jax.numpy as jnp
