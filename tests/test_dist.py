@@ -118,6 +118,15 @@ def test_renderer_shard_sppm(cornell_scene):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_renderer_shard_ir(cornell_scene):
+    """ir kind: lane-sharded pixels against a replicated VPL set (the
+    set is generated from the iteration key alone, so placement cannot
+    change it) — bit-exact vs single device."""
+    a, b = _renderer_pair(cornell_scene, IntegratorType.IR)
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_replicated_scene_no_lane_dependence(small_scene):
     """The scene pytree must be placement-invariant: replicate() then a
     trivial reduction equals the host value."""
