@@ -61,6 +61,8 @@ PACKET_W = int(os.environ.get("PTPU_PACKET_W", "1024"))
                         # rays per packet = one grid step (ROWS must be
                         # a multiple of 8 — Mosaic block-shape rule)
 ROWS = PACKET_W // LANES
+NN = int(os.environ.get("PTPU_NN", "1"))   # node rows popped / iteration
+NL = int(os.environ.get("PTPU_NL", "2"))   # leaf rows popped / iteration
 NSTACK = 512            # node stack: bounded by bvh8 depth * 14 + 16
 LSTACK = 4096           # leaf backlog: pushes <= 16/iter, drains 2/iter
 RESIDENT_MAX_ROWS = 24576   # 12 MB of VMEM for the resident table
@@ -75,16 +77,26 @@ def _safe_inv(d):
 
 
 def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
-                 slot_order=False, rows=ROWS):
+                 slot_order=False, rows=ROWS, nn=1, nl=2, n_inst=0,
+                 tlas_rows=0):
     """Dual-stack, branch-free packet walk.
 
-    Every while iteration UNCONDITIONALLY processes 2 node rows and
-    2 leaf rows (popped from separate SMEM stacks; the all-zero DUMMY
+    Every while iteration UNCONDITIONALLY processes `nn` node rows and
+    `nl` leaf rows (popped from separate SMEM stacks; the all-zero DUMMY
     row substitutes when a stack runs short). Measured on v5e: a
     `lax.cond` choosing node-vs-leaf work costs ~1 us PER ITERATION in
     pipeline breakage — far more than the dummy work it saves — and a
     single packed-bitmask vector->scalar sync per iteration (~0.2 us)
-    replaces what would be 16 separate `jnp.any` syncs.
+    replaces what would be `16` separate `jnp.any` syncs.
+
+    Default (nn=1, nl=2) is LEAF-PRIORITY: draining discovered leaf
+    rows before expanding more nodes tightens best_t earlier, so far
+    fewer rows are ever expanded. Exact-policy simulation on the
+    dragon BVH8 (tools/sim_walk_stats.py, sorted bounce rays, W=1024):
+    (2,2) expands 136.7 node + 190.0 leaf rows per packet; (1,2)
+    expands 58.1 + 72.1 — ~2.2x less modeled VPU work. nl=1 starves
+    (the leaf backlog outruns one drain/iter and best_t goes stale:
+    228.7 leaf rows); nl>2 just burns dummy rows.
 
     n8 is None => RESIDENT mode (tab holds the whole unified table);
     else STREAMED mode: tab holds the bf16-packed 4-nodes/row table
@@ -94,13 +106,25 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     started last iteration).
     """
     streamed = n8 is not None
+    instanced = n_inst > 0
     if streamed:
         (nodes4_hbm, tab_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx,
          t_out, p_out, tab, nstack, lstack, sps, sem, mscr,
-         lbuf, lsem0, lsem1) = refs
+         lbuf, *lsems) = refs
+    elif instanced:
+        # instanced mode (geom/tlas.py): aux input [n_inst, 128] rows of
+        # [3x4 world->blas xform (12), blas root row, slot base, pad];
+        # xray scratch holds the packet's rays pre-transformed into every
+        # instance frame: comp c of instance i at rows
+        # [i*12*rows + c*rows, +rows), comps ordered
+        # rox roy roz rdx rdy rdz ix iy iz oix oiy oiz.
+        (tab_hbm, aux, ox, oy, oz, dx, dy, dz, tmn, tmx,
+         t_out, p_out, tab, nstack, lstack, sps, sem, mscr, xray) = refs
     else:
         (tab_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx,
          t_out, p_out, tab, nstack, lstack, sps, sem, mscr) = refs
+    ncand = 8 * nn
+    S = 2048   # stack entries encode row * S + instance (tlas.INST_STRIDE)
 
     # resident part: one DMA on the first grid step; the scratch
     # persists across grid steps so later packets reuse it
@@ -122,6 +146,39 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     oiy = roy * iy
     oiz = roz * iz
     live = tmax > 0.0       # padded lanes carry tmax <= 0
+
+    if instanced:
+        # pre-transform the packet into every instance frame ONCE (the
+        # map is affine, so the hit parameter t is world-invariant and
+        # d' stays unnormalized — Moller-Trumbore is exact either way).
+        # ~35 vector ops + 12 scalar broadcasts per instance, amortized
+        # over the whole walk.
+        for i in range(n_inst):
+            m = [aux[i, k] for k in range(12)]
+            tox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
+            toy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
+            toz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
+            tdx = m[0] * rdx + m[1] * rdy + m[2] * rdz
+            tdy = m[4] * rdx + m[5] * rdy + m[6] * rdz
+            tdz = m[8] * rdx + m[9] * rdy + m[10] * rdz
+            tix = _safe_inv(tdx)
+            tiy = _safe_inv(tdy)
+            tiz = _safe_inv(tdz)
+            comps = (tox, toy, toz, tdx, tdy, tdz, tix, tiy, tiz,
+                     tox * tix, toy * tiy, toz * tiz)
+            for c, v in enumerate(comps):
+                xray[pl.ds(i * 12 * rows + c * rows, rows), :] = v
+
+    def ray_comps(inst, c0, k=3):
+        """k consecutive ray components [rows, 128] of instance `inst`
+        (traced scalar), starting at comp id c0."""
+        if not instanced:
+            direct = (rox, roy, roz, rdx, rdy, rdz, ix, iy, iz,
+                      oix, oiy, oiz)
+            return direct[c0:c0 + k]
+        off = inst * (12 * rows)
+        return tuple(xray[pl.ds(off + (c0 + j) * rows, rows), :]
+                     for j in range(k))
     if streamed:
         # node ids decode as (row id>>2, quarter id&3); the packed
         # table's trailing zero row makes id 4*(rows-1) an all-zero
@@ -148,8 +205,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     slot16 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * 16
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
-    sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (ncand, LANES), 1)
+    subC = jax.lax.broadcasted_iota(jnp.int32, (ncand, LANES), 0)
     HIMASK = jnp.int32(np.int32(np.uint32(0xFFFF0000)))
 
     def node_tests(row, base, best_t):
@@ -235,13 +292,13 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                             axis=0, keepdims=True)
         return meta_lane, dist_lane
 
-    def leaf_tests_two(rows_2, best_t):
-        """All 16 slots of two leaf rows ([1, 128] arrays) vs every ray
-        row, in the transposed [8 slots, 128] x [1, 128 rays] broadcast
-        form, reduced over slots per ray row and reassembled to
-        [ROWS, 128]."""
+    def leaf_tests(rows_nl, best_t):
+        """All 8 slots of each popped leaf row ([1, 128] arrays) vs every
+        ray row, in the transposed [8 slots, 128] x [1, 128 rays]
+        broadcast form, reduced over slots per ray row and reassembled
+        to [ROWS, 128]."""
         cols = []
-        for row in rows_2:
+        for row in rows_nl:
             row8 = jnp.broadcast_to(row, (8, LANES))
 
             def g(f, row8=row8):
@@ -358,17 +415,15 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
         return (jnp.concatenate(t_rows, axis=0),
                 jnp.concatenate(p_rows, axis=0))
 
-    def start_leaf_copies(l1, l2):
-        pltpu.make_async_copy(tab_hbm.at[pl.ds(l1, 1)],
-                              lbuf.at[pl.ds(0, 1)], lsem0).start()
-        pltpu.make_async_copy(tab_hbm.at[pl.ds(l2, 1)],
-                              lbuf.at[pl.ds(1, 1)], lsem1).start()
+    def start_leaf_copies(ls):
+        for i, li in enumerate(ls):
+            pltpu.make_async_copy(tab_hbm.at[pl.ds(li, 1)],
+                                  lbuf.at[pl.ds(i, 1)], lsems[i]).start()
 
     def wait_leaf_copies():
-        pltpu.make_async_copy(tab_hbm.at[pl.ds(0, 1)],
-                              lbuf.at[pl.ds(0, 1)], lsem0).wait()
-        pltpu.make_async_copy(tab_hbm.at[pl.ds(0, 1)],
-                              lbuf.at[pl.ds(1, 1)], lsem1).wait()
+        for i in range(nl):
+            pltpu.make_async_copy(tab_hbm.at[pl.ds(0, 1)],
+                                  lbuf.at[pl.ds(i, 1)], lsems[i]).wait()
 
     def cond(state):
         return state[0]
@@ -382,63 +437,66 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
         # dummy-row priming copies)
         if streamed:
             wait_leaf_copies()
-            rows_2 = (lbuf[0:1, :], lbuf[1:2, :])
-        # pop up to 2 nodes and 2 leaves (DUMMY when short)
+            rows_nl = tuple(lbuf[i:i + 1, :] for i in range(nl))
+        # pop up to nn nodes and nl leaves (DUMMY when short)
         sn = sps[0]
-        n1 = jnp.where(sn > 0, nstack[jnp.maximum(sn - 1, 0)], dummy)
-        n2 = jnp.where(sn > 1, nstack[jnp.maximum(sn - 2, 0)], dummy)
-        sps[0] = jnp.maximum(sn - 2, 0)
+        nps = [jnp.where(sn > i, nstack[jnp.maximum(sn - 1 - i, 0)], dummy)
+               for i in range(nn)]
+        sps[0] = jnp.maximum(sn - nn, 0)
         sl = sps[1]
-        l1 = jnp.where(sl > 0, lstack[jnp.maximum(sl - 1, 0)], ldummy)
-        l2 = jnp.where(sl > 1, lstack[jnp.maximum(sl - 2, 0)], ldummy)
-        sps[1] = jnp.maximum(sl - 2, 0)
+        lps = [jnp.where(sl > i, lstack[jnp.maximum(sl - 1 - i, 0)], ldummy)
+               for i in range(nl)]
+        sps[1] = jnp.maximum(sl - nl, 0)
         if streamed:
-            start_leaf_copies(l1, l2)
+            start_leaf_copies(lps)
         else:
-            rows_2 = (tab[pl.ds(l1, 1), :], tab[pl.ds(l2, 1), :])
+            rows_nl = tuple(tab[pl.ds(li, 1), :] for li in lps)
 
-        meta_l1, dist_l1 = node_tests(n1, 0, best_t)
-        meta_l2, dist_l2 = node_tests(n2, 8, best_t)
-        t_cand, p_cand = leaf_tests_two(rows_2, best_t)
+        node_md = [node_tests(nps[i], 8 * i, best_t) for i in range(nn)]
+        t_cand, p_cand = leaf_tests(rows_nl, best_t)
         upd = t_cand < jnp.inf   # ok already implies t <= entry best_t
         best_t = jnp.where(upd, t_cand, best_t)
         best_p = jnp.where(upd, p_cand, best_p)
 
-        # NEAR-FIRST ordering of this iteration's <=16 pushes (measured
-        # on the dragon BVH8: 857 -> 186 iters/packet on incoherent
-        # rays, tools/sim_walk.py): rank the candidates by packet-min
-        # entry distance, then push far-to-near so the nearest node
-        # pops first and tightens best_t before the rest are popped.
-        # All vector-side: rank_c = #{j : (dist_j, j) < (dist_c, c)}
-        # is a [16,128] compare + sublane sum; the permuted metas are a
-        # one-hot lane sum scattered to sublane rank_c.
-        meta_lane = meta_l1 + meta_l2        # disjoint lanes 0..15
-        dist_lane = dist_l1 + dist_l2
+        # NEAR-FIRST ordering of this iteration's <=ncand pushes
+        # (measured on the dragon BVH8: 857 -> 186 iters/packet on
+        # incoherent rays, tools/sim_walk.py): rank the candidates by
+        # packet-min entry distance, then push far-to-near so the
+        # nearest node pops first and tightens best_t before the rest
+        # are popped. All vector-side: rank_c = #{j : (dist_j, j) <
+        # (dist_c, c)} is an [ncand,128] compare + sublane sum; the
+        # permuted metas are a one-hot lane sum scattered to sublane
+        # rank_c.
+        meta_lane = node_md[0][0]            # disjoint lanes per node
+        dist_lane = node_md[0][1]
+        for md, dd in node_md[1:]:
+            meta_lane = meta_lane + md
+            dist_lane = dist_lane + dd
         if slot_order:
             # A/B reference policy: child-slot order (the pre-ordering
-            # kernel's behavior — child 15 popped first)
-            rank = 15 - lane16[0:1, :]
+            # kernel's behavior — last child popped first)
+            rank = (ncand - 1) - laneC[0:1, :]
         else:
-            d16 = jnp.take_along_axis(
-                jnp.broadcast_to(dist_lane, (16, LANES)), sub16, axis=1)
-            lt = (d16 < dist_lane) \
-                | ((d16 == dist_lane) & (sub16 < lane16))
+            dC = jnp.take_along_axis(
+                jnp.broadcast_to(dist_lane, (ncand, LANES)), subC, axis=1)
+            lt = (dC < dist_lane) \
+                | ((dC == dist_lane) & (subC < laneC))
             rank = jnp.sum(jnp.where(lt, 1, 0), axis=0, keepdims=True)
-        oh = (jnp.broadcast_to(rank, (16, LANES)) == sub16) \
-            & (lane16 < 16)
+        oh = (jnp.broadcast_to(rank, (ncand, LANES)) == subC) \
+            & (laneC < ncand)
         perm = jnp.sum(
-            jnp.where(oh, jnp.broadcast_to(meta_lane, (16, LANES)), 0.0),
+            jnp.where(oh, jnp.broadcast_to(meta_lane, (ncand, LANES)), 0.0),
             axis=1, keepdims=True)           # sublane r = meta @ rank r
-        mscr[...] = jnp.broadcast_to(perm, (16, LANES))
+        mscr[...] = jnp.broadcast_to(perm, (ncand, LANES))
 
         # branch-free pushes: ALWAYS store at the stack top, advance the
         # pointer only when the candidate is real (meta != 0 folds the
         # hit flag in) — a `pl.when` per child measured ~100 ns of
         # branch overhead each; stale writes above sp are never read.
-        # rank 15 (farthest / dummy) pushes first, rank 0 lands on top.
+        # The farthest rank (or dummy) pushes first, rank 0 lands on top.
         sn = jnp.minimum(sps[0], NSTACK - 1)
         sl = jnp.minimum(sps[1], LSTACK - 1)
-        for r in range(15, -1, -1):
+        for r in range(ncand - 1, -1, -1):
             meta = mscr[r, 0].astype(jnp.int32)
             nstack[sn] = meta
             sn = jnp.minimum(sn + jnp.where(meta > 0, 1, 0), NSTACK - 1)
@@ -450,7 +508,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
         more = (sps[0] > 0) | (sps[1] > 0)
         if streamed:
             # the leaf rows now in flight still need their test
-            more |= (l1 != ldummy) | (l2 != ldummy)
+            for li in lps:
+                more |= li != ldummy
         if any_hit:
             # one vector->scalar sync: any live lane still unhit?
             more &= jnp.max(jnp.where((best_p < 0.0) & live, 1, 0)) > 0
@@ -459,7 +518,7 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     if streamed:
         # prime the pipeline with dummy-row copies so the first body
         # iteration's wait/test pair is uniform
-        start_leaf_copies(ldummy, ldummy)
+        start_leaf_copies([ldummy] * nl)
     state = (jnp.bool_(True), tmax,
              jnp.full(rox.shape, -1.0, jnp.float32))
     _, best_t, best_p = jax.lax.while_loop(cond, body, state)
@@ -473,10 +532,11 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
 
 @functools.partial(
     jax.jit, static_argnames=("has_tri", "has_sph", "has_lin", "any_hit",
-                              "n8", "interpret", "slot_order", "packet_w"))
+                              "n8", "interpret", "slot_order", "packet_w",
+                              "nn", "nl"))
 def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
                      has_sph, has_lin, any_hit, n8=None, interpret=False,
-                     slot_order=False, packet_w=PACKET_W):
+                     slot_order=False, packet_w=PACKET_W, nn=NN, nl=NL):
     n = ro.shape[0]
     rows = packet_w // LANES
     n_pad = (n + packet_w - 1) // packet_w * packet_w
@@ -504,21 +564,20 @@ def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
         pltpu.SMEM((LSTACK,), jnp.int32),
         pltpu.SMEM((2,), jnp.int32),
         pltpu.SemaphoreType.DMA(()),
-        pltpu.VMEM((16, LANES), jnp.float32),  # rank-permuted push metas
+        pltpu.VMEM((8 * nn, LANES), jnp.float32),  # rank-permuted metas
     ]
     inputs = (table,)
     n_tabs = 1
     if n8 is not None:
         scratch += [
-            pltpu.VMEM((8, LANES), jnp.float32),   # 2-row leaf DMA buffer
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ]
+            pltpu.VMEM((max(nl, 8), LANES), jnp.float32),  # leaf DMA buffer
+        ] + [pltpu.SemaphoreType.DMA(())] * nl
         inputs = (nodes4, table)
         n_tabs = 2
     kernel = functools.partial(
         _walk_kernel, has_tri=has_tri, has_sph=has_sph, has_lin=has_lin,
-        any_hit=any_hit, n8=n8, slot_order=slot_order, rows=rows)
+        any_hit=any_hit, n8=n8, slot_order=slot_order, rows=rows,
+        nn=nn, nl=nl)
     t, p = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -547,12 +606,14 @@ def supports(scene, static) -> bool:
 
 def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
                     interpret: bool = False, force_streamed: bool = False,
-                    slot_order: bool = False):
+                    slot_order: bool = False, nn: int = NN, nl: int = NL,
+                    packet_w: int = PACKET_W):
     """Drop-in for geom.packet.packet_traverse on the TPU backend.
 
     slot_order=True selects the unordered push policy (A/B baseline for
     tools/bench_walkcost.py); the default near-first ordering is always
-    better or equal (tools/sim_walk.py)."""
+    better or equal (tools/sim_walk.py). nn/nl select the per-iteration
+    pop widths (default leaf-priority 1+2, tools/sim_walk_stats.py)."""
     n = ro.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)
@@ -564,4 +625,5 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
         scene.bvh8_table, scene.bvh8_nodes4, ro, rd, tmin_b, tmax_b,
         has_tri=static.has_triangles, has_sph=static.has_spheres,
         has_lin=static.has_lines, any_hit=any_hit, n8=n8,
-        interpret=interpret, slot_order=slot_order)
+        interpret=interpret, slot_order=slot_order, nn=nn, nl=nl,
+        packet_w=packet_w)

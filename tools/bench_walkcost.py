@@ -74,35 +74,55 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("slot",))
-    def walk(ro_, rd_, slot=False):
+    # configs: (label, slot_order, nn, nl, packet_w)
+    CONFIGS = [
+        ("near 2+2 W1024", False, 2, 2, 1024),   # round-2 shipped kernel
+        ("near 1+2 W1024", False, 1, 2, 1024),
+        ("near 1+2 W512", False, 1, 2, 512),
+        ("near 1+3 W512", False, 1, 3, 512),
+    ]
+
+    @functools.partial(jax.jit,
+                       static_argnames=("slot", "nn", "nl", "pw"))
+    def walk(ro_, rd_, slot=False, nn=2, nl=2, pw=1024):
         t, pr, _ = packet_tpu.packet_traverse(
             dev, static, ro_, rd_, 1e-3, jnp.inf, any_hit=False,
-            slot_order=slot)
+            slot_order=slot, nn=nn, nl=nl)
         return t, pr
 
-    # compile + warm both policies
+    # compile + warm every config; verify agreement vs the baseline
     args = {k: (jnp.asarray(a), jnp.asarray(b)) for k, (a, b) in cases.items()}
     for k, (a, b) in args.items():
-        ref = jax.block_until_ready(walk(a, b, slot=True))
-        new = jax.block_until_ready(walk(a, b, slot=False))
-        agree = float(jnp.mean((ref[1] == new[1]).astype(jnp.float32)))
-        print(f"{k:20s}: prim-id agreement {agree:.6f}", flush=True)
+        ref = None
+        for lbl, s, nn, nl, pw in CONFIGS:
+            os.environ["PTPU_PACKET_W"] = str(pw)
+            out = jax.block_until_ready(walk(a, b, slot=s, nn=nn, nl=nl,
+                                             pw=pw))
+            if ref is None:
+                ref = out
+            else:
+                agree = float(jnp.mean((ref[1] == out[1]).astype(jnp.float32)))
+                if agree < 1.0:
+                    print(f"{k:20s} {lbl}: prim-id agreement {agree:.6f}",
+                          flush=True)
 
     REPS = 6
-    best = {(k, s): 1e9 for k in cases for s in (True, False)}
+    best = {(k, c[0]): 1e9 for k in cases for c in CONFIGS}
     for _ in range(REPS):
         for k, (a, b) in args.items():
-            for s in (True, False):
+            for lbl, s, nn, nl, pw in CONFIGS:
                 t0 = time.perf_counter()
-                jax.block_until_ready(walk(a, b, slot=s))
-                best[(k, s)] = min(best[(k, s)],
-                                   time.perf_counter() - t0)
+                jax.block_until_ready(walk(a, b, slot=s, nn=nn, nl=nl,
+                                           pw=pw))
+                best[(k, lbl)] = min(best[(k, lbl)],
+                                     time.perf_counter() - t0)
     for k in cases:
-        vs, vn = best[(k, True)], best[(k, False)]
-        print(f"{k:20s}: slot {vs * 1e3:8.2f} ms ({n / vs / 1e6:7.1f} Mr/s)"
-              f"  near {vn * 1e3:8.2f} ms ({n / vn / 1e6:7.1f} Mr/s)"
-              f"  x{vs / vn:.2f}", flush=True)
+        base = best[(k, CONFIGS[0][0])]
+        row = "  ".join(
+            f"{lbl} {best[(k, lbl)] * 1e3:7.2f}ms"
+            f"({n / best[(k, lbl)] / 1e6:5.1f}Mr/s x{base / best[(k, lbl)]:.2f})"
+            for lbl, *_ in CONFIGS)
+        print(f"{k:20s}: {row}", flush=True)
 
 
 if __name__ == "__main__":

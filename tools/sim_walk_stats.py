@@ -134,13 +134,10 @@ def main():
     for label, (a, b) in (("primary morton2d", (pro, prd)),
                           ("bounce sortkey", (bro, brd))):
         print(f"== {label}")
-        for W in (256, 512, 1024):
-            run_set(tree, a, b, label, W=W)
-        run_set(tree, a, b, label, W=1024, nn=4, nl=4)
-        run_set(tree, a, b, label, W=1024, nn=2, nl=4)
-        run_set(tree, a, b, label, W=1024, nn=1, nl=2)
-        run_set(tree, a, b, label, W=1024, nn=2, nl=2, prune=True)
-        run_set(tree, a, b, label, W=1024, nn=4, nl=4, prune=True)
+        run_set(tree, a, b, label, W=1024, nn=2, nl=2)   # shipped kernel
+        for W in (512, 1024, 2048):
+            for nn, nl in ((1, 2), (1, 3), (1, 4), (2, 3)):
+                run_set(tree, a, b, label, W=W, nn=nn, nl=nl)
 
 
 if __name__ == "__main__":
