@@ -30,7 +30,7 @@ SCENES = [
     # (key, path, size, timed iters)
     ("cornell", "/root/reference/scenes/cornell_box/scene.json", 1024, 8),
     ("dragon_100k", f"{REPO}/scenes/dragon/scene.json", 512, 4),
-    ("forest_1m", f"{REPO}/scenes/dragon_forest/scene.json", 512, 2),
+    ("forest_1m", f"{REPO}/scenes/dragon_forest/scene.json", 512, 4),
 ]
 
 # BENCH_SMOKE=1: tiny sizes to validate the harness itself (CPU-safe)
@@ -87,6 +87,36 @@ def bench_scene(path, size, iters):
     return rays_iter / dt / 1e6, 1.0 / dt, rays_iter
 
 
+# full integrator matrix on cornell 512^2 at the scene's own depth (17)
+# — mirrors the reference's per-frame dispatch over all integrator
+# kernels (pathtracer.cu:2711-2745). (name, timed iters)
+INTEG_MATRIX = [("ao", 8), ("pt", 8), ("vpt", 2), ("lt", 2),
+                ("bdpt", 1), ("sppm", 4), ("ir", 8)]
+
+
+def bench_integrators(size=512):
+    import time
+
+    from gpu_pathtracer_tpu.run.renderer import Renderer
+    from gpu_pathtracer_tpu.scene.parse import _INTEGRATOR_MAP, load_scene
+
+    if os.environ.get("BENCH_SMOKE"):
+        size = 32
+    out = {}
+    for name, iters in INTEG_MATRIX:
+        host = load_scene("/root/reference/scenes/cornell_box/scene.json")
+        host.width = host.height = size
+        r = Renderer(host, integrator=_INTEGRATOR_MAP[name])
+        r.render(1)   # compile + warm
+        t0 = time.time()
+        r.render(iters)
+        dt = (time.time() - t0) / iters
+        out[name] = round(1.0 / dt, 4)
+        print(f"# integ {name}: {1 / dt:.3f} spp/s @{size}^2 "
+              f"depth {r.static.max_depth}", file=sys.stderr)
+    return out
+
+
 def main():
     from gpu_pathtracer_tpu.run.renderer import enable_compile_cache
     enable_compile_cache()  # timings exclude compile (warmup); the cache
@@ -99,6 +129,7 @@ def main():
         print(f"# {key} PT {size}x{size} depth={MAX_DEPTH}: "
               f"{spp_s:.3f} spp/s, {mrays:.1f} Mrays/s "
               f"({rays_iter / 1e6:.1f} Mrays/iter)", file=sys.stderr)
+    integ = bench_integrators()
 
     mrays = results["cornell"][0]
     print(json.dumps({
@@ -115,6 +146,9 @@ def main():
         "dragon_100k_spp_s_512": round(results["dragon_100k"][1], 3),
         "forest_1m_mrays": round(results["forest_1m"][0], 3),
         "forest_1m_spp_s_512": round(results["forest_1m"][1], 3),
+        # all 7 integrators, cornell 512^2 at the scene depth (17):
+        # spp/s keyed integ_<name>
+        **{f"integ_{k}_spp_s_512": v for k, v in integ.items()},
     }))
 
 

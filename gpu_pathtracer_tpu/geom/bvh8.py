@@ -59,15 +59,11 @@ def _subtree_ranges(bvh: FlatBVH):
     return rs, re
 
 
-def build_bvh8(bvh: FlatBVH, prim_records: np.ndarray):
-    """Returns (table, n8): the unified table [n8 + n_leaf_rows + 1, 128]
-    f32 and the node-row count n8 (rows [0, n8) are node rows, the rest
-    leaf rows + trailing dummy). n8 lets the TPU walk split the table
-    into a VMEM-resident node part and an HBM-streamed leaf part when
-    the whole table exceeds VMEM.
-
-    prim_records: [P, 16] leaf-ordered records (flatten's dense layout).
-    """
+def _collapse(bvh: FlatBVH):
+    """BFS 8-wide collapse of the binary BVH. Returns
+    (node_children, node_row, leaf_of, leaf_runs): per 8-wide node the
+    list of binary child ids, binary id -> node row / leaf row maps,
+    and per leaf row its (start, count) primitive run."""
     rs, re = _subtree_ranges(bvh)
     counts = re - rs + 1
     is_leaf = bvh.is_leaf
@@ -76,7 +72,6 @@ def build_bvh8(bvh: FlatBVH, prim_records: np.ndarray):
     def small(b):
         return is_leaf[b] or counts[b] <= MAX_LEAF_RUN
 
-    # BFS collapse: binary id -> 8-wide children (binary ids)
     from collections import deque
     node_children: list[list[int]] = []
     node_row: dict[int, int] = {}
@@ -104,7 +99,6 @@ def build_bvh8(bvh: FlatBVH, prim_records: np.ndarray):
             if not small(c):
                 queue.append(c)
 
-    n8 = len(node_children)
     # leaf rows: one per small child, in encounter order
     leaf_of: dict[int, int] = {}
     leaf_runs: list[tuple[int, int]] = []
@@ -113,6 +107,34 @@ def build_bvh8(bvh: FlatBVH, prim_records: np.ndarray):
             if small(c) and c not in leaf_of:
                 leaf_of[c] = len(leaf_runs)
                 leaf_runs.append((int(rs[c]), int(counts[c])))
+    return node_children, node_row, leaf_of, leaf_runs
+
+
+def count_rows(bvh: FlatBVH) -> tuple[int, int]:
+    """(node rows, leaf rows) the collapse of `bvh` will emit — lets
+    geom/tlas.py size an instanced table before committing to it."""
+    node_children, _, _, leaf_runs = _collapse(bvh)
+    return len(node_children), len(leaf_runs)
+
+
+def build_bvh8(bvh: FlatBVH, prim_records: np.ndarray):
+    """Returns (table, n8): the unified table [n8 + n_leaf_rows + 1, 128]
+    f32 and the node-row count n8 (rows [0, n8) are node rows, the rest
+    leaf rows + trailing dummy). n8 lets the TPU walk split the table
+    into a VMEM-resident node part and an HBM-streamed leaf part when
+    the whole table exceeds VMEM.
+
+    prim_records: [P, 16] leaf-ordered records (flatten's dense layout).
+    """
+    node_children, node_row, leaf_of, leaf_runs = _collapse(bvh)
+    rs, re = _subtree_ranges(bvh)
+    counts = re - rs + 1
+    is_leaf = bvh.is_leaf
+
+    def small(b):
+        return is_leaf[b] or counts[b] <= MAX_LEAF_RUN
+
+    n8 = len(node_children)
 
     # +1: trailing all-zero DUMMY row — the Pallas walk kernel processes
     # a fixed number of node+leaf rows per iteration and substitutes this

@@ -209,7 +209,7 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     subC = jax.lax.broadcasted_iota(jnp.int32, (ncand, LANES), 0)
     HIMASK = jnp.int32(np.int32(np.uint32(0xFFFF0000)))
 
-    def node_tests(row, base, best_t):
+    def node_tests(row, base, best_t, inst=None):
         """8 child slab tests of one node row: every term is an
         [8 children, 128] x [1, 128] broadcast against a ray ROW — a
         scalar-load + scalar->vector broadcast per field measured
@@ -250,22 +250,24 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
             bx0, by0, bz0 = fld(0), fld(1), fld(2)
             bx1, by1, bz1 = fld(3), fld(4), fld(5)
             metac = fld(6)
+        nix, niy, niz = ray_comps(inst, 6)
+        noix, noiy, noiz = ray_comps(inst, 9)
         h_any = None
         dmin = None
         for rr in range(rows):
             # slab planes as FMAs: box*inv - o*inv, with o*inv hoisted
             # out of the while loop (oix/oiy/oiz) — one VPU op per
             # plane instead of sub+mul
-            t1 = bx0 * ix[rr:rr + 1, :] - oix[rr:rr + 1, :]
-            t2 = bx1 * ix[rr:rr + 1, :] - oix[rr:rr + 1, :]
+            t1 = bx0 * nix[rr:rr + 1, :] - noix[rr:rr + 1, :]
+            t2 = bx1 * nix[rr:rr + 1, :] - noix[rr:rr + 1, :]
             tn = jnp.minimum(t1, t2)
             tf = jnp.maximum(t1, t2)
-            t1 = by0 * iy[rr:rr + 1, :] - oiy[rr:rr + 1, :]
-            t2 = by1 * iy[rr:rr + 1, :] - oiy[rr:rr + 1, :]
+            t1 = by0 * niy[rr:rr + 1, :] - noiy[rr:rr + 1, :]
+            t2 = by1 * niy[rr:rr + 1, :] - noiy[rr:rr + 1, :]
             tn = jnp.maximum(tn, jnp.minimum(t1, t2))
             tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            t1 = bz0 * iz[rr:rr + 1, :] - oiz[rr:rr + 1, :]
-            t2 = bz1 * iz[rr:rr + 1, :] - oiz[rr:rr + 1, :]
+            t1 = bz0 * niz[rr:rr + 1, :] - noiz[rr:rr + 1, :]
+            t2 = bz1 * niz[rr:rr + 1, :] - noiz[rr:rr + 1, :]
             tn = jnp.maximum(tn, jnp.minimum(t1, t2))
             tf = jnp.minimum(tf, jnp.maximum(t1, t2))
             hit = (tf > 1e-5) & (tn <= tf) \
@@ -292,39 +294,47 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                             axis=0, keepdims=True)
         return meta_lane, dist_lane
 
-    def leaf_tests(rows_nl, best_t):
+    def leaf_tests(rows_nl, best_t, insts=None):
         """All 8 slots of each popped leaf row ([1, 128] arrays) vs every
         ray row, in the transposed [8 slots, 128] x [1, 128 rays]
         broadcast form, reduced over slots per ray row and reassembled
-        to [ROWS, 128]."""
+        to [ROWS, 128]. In instanced mode each leaf row carries its own
+        instance (insts, traced scalars): rays come from that instance's
+        pre-transformed slice and the BLAS-local pid gets the instance's
+        global slot base added."""
         cols = []
-        for row in rows_nl:
+        for li, row in enumerate(rows_nl):
             row8 = jnp.broadcast_to(row, (8, LANES))
 
             def g(f, row8=row8):
                 return jnp.take_along_axis(row8, slot16 + f, axis=1)
 
+            inst = insts[li] if instanced else None
+            crox, croy, croz, crdx, crdy, crdz = ray_comps(inst, 0, 6)
             cols.append(dict(
                 v0x=g(0), v0y=g(1), v0z=g(2),
                 ax=g(3), ay=g(4), az=g(5),
                 bx=g(6), by=g(7), bz=g(8),
                 ptype=g(9), r0=g(10), r1=g(11),
-                pid=g(12), valid=g(13)))
+                pid=g(12), valid=g(13),
+                rox=crox, roy=croy, roz=croz,
+                rdx=crdx, rdy=crdy, rdz=crdz,
+                base=(aux[inst, 13] if instanced else 0.0)))
         t_rows = []
         p_rows = []
         for rr in range(rows):
-            ro_x = rox[rr:rr + 1, :]
-            ro_y = roy[rr:rr + 1, :]
-            ro_z = roz[rr:rr + 1, :]
-            rd_x = rdx[rr:rr + 1, :]
-            rd_y = rdy[rr:rr + 1, :]
-            rd_z = rdz[rr:rr + 1, :]
             tmin_r = tmin[rr:rr + 1, :]
             bt_r = best_t[rr:rr + 1, :]
             live_r = live[rr:rr + 1, :]
             tm_best = None
             pm_best = None
             for cc in cols:
+                ro_x = cc["rox"][rr:rr + 1, :]
+                ro_y = cc["roy"][rr:rr + 1, :]
+                ro_z = cc["roz"][rr:rr + 1, :]
+                rd_x = cc["rdx"][rr:rr + 1, :]
+                rd_y = cc["rdy"][rr:rr + 1, :]
+                rd_z = cc["rdz"][rr:rr + 1, :]
                 ok = None
                 t = None
                 if has_tri:
@@ -403,7 +413,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                 t_min = jnp.min(tm, axis=0, keepdims=True)
                 pm = jnp.max(jnp.where(tm == t_min, cc["pid"], -1.0),
                              axis=0, keepdims=True)
-                pm = jnp.where(t_min < jnp.inf, pm, -1.0)
+                # instanced: BLAS-local pid + instance slot base = GLOBAL
+                pm = jnp.where(t_min < jnp.inf, pm + cc["base"], -1.0)
                 if tm_best is None:
                     tm_best, pm_best = t_min, pm
                 else:
@@ -438,22 +449,35 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
         if streamed:
             wait_leaf_copies()
             rows_nl = tuple(lbuf[i:i + 1, :] for i in range(nl))
-        # pop up to nn nodes and nl leaves (DUMMY when short)
+        # pop up to nn nodes and nl leaves (DUMMY when short). Instanced
+        # entries decode as (row, inst) = (e // S, e % S); the dummy
+        # entry rides instance 0 (identity).
+        dummy_e = dummy * S if instanced else dummy
+        ldummy_e = ldummy * S if instanced else ldummy
         sn = sps[0]
-        nps = [jnp.where(sn > i, nstack[jnp.maximum(sn - 1 - i, 0)], dummy)
-               for i in range(nn)]
+        nes = [jnp.where(sn > i, nstack[jnp.maximum(sn - 1 - i, 0)],
+                         dummy_e) for i in range(nn)]
         sps[0] = jnp.maximum(sn - nn, 0)
         sl = sps[1]
-        lps = [jnp.where(sl > i, lstack[jnp.maximum(sl - 1 - i, 0)], ldummy)
-               for i in range(nl)]
+        les = [jnp.where(sl > i, lstack[jnp.maximum(sl - 1 - i, 0)],
+                         ldummy_e) for i in range(nl)]
         sps[1] = jnp.maximum(sl - nl, 0)
+        if instanced:
+            nps = [e // S for e in nes]
+            nis = [e % S for e in nes]
+            lps = [e // S for e in les]
+            lis = [e % S for e in les]
+        else:
+            nps, nis = nes, [None] * nn
+            lps, lis = les, None
         if streamed:
             start_leaf_copies(lps)
         else:
             rows_nl = tuple(tab[pl.ds(li, 1), :] for li in lps)
 
-        node_md = [node_tests(nps[i], 8 * i, best_t) for i in range(nn)]
-        t_cand, p_cand = leaf_tests(rows_nl, best_t)
+        node_md = [node_tests(nps[i], 8 * i, best_t, nis[i])
+                   for i in range(nn)]
+        t_cand, p_cand = leaf_tests(rows_nl, best_t, lis)
         upd = t_cand < jnp.inf   # ok already implies t <= entry best_t
         best_t = jnp.where(upd, t_cand, best_t)
         best_p = jnp.where(upd, p_cand, best_p)
@@ -496,12 +520,32 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
         # The farthest rank (or dummy) pushes first, rank 0 lands on top.
         sn = jnp.minimum(sps[0], NSTACK - 1)
         sl = jnp.minimum(sps[1], LSTACK - 1)
+        if instanced:
+            is_tlas = [nps[i] < tlas_rows for i in range(nn)]
         for r in range(ncand - 1, -1, -1):
             meta = mscr[r, 0].astype(jnp.int32)
-            nstack[sn] = meta
-            sn = jnp.minimum(sn + jnp.where(meta > 0, 1, 0), NSTACK - 1)
-            lstack[sl] = -meta
-            sl = jnp.minimum(sl + jnp.where(meta < 0, 1, 0), LSTACK - 1)
+            if instanced:
+                # TLAS rows have no leaf children: negative meta there is
+                # an INSTANCE entry -(i+1) -> push (blas root of i, i);
+                # positive meta is a TLAS subrow (rides instance 0, which
+                # TLAS pops always carry). BLAS rows keep the flat
+                # conventions with the popped row's instance inherited.
+                it = is_tlas[r // 8]
+                inst_s = nis[r // 8]
+                im = jnp.maximum(-meta - 1, 0)
+                root = aux[im, 12].astype(jnp.int32)
+                ne = jnp.where(it & (meta < 0), root * S + im,
+                               meta * S + inst_s)
+                push_n = jnp.where(it, meta != 0, meta > 0)
+                le = (-meta) * S + inst_s
+                push_l = (~it) & (meta < 0)
+            else:
+                ne, le = meta, -meta
+                push_n, push_l = meta > 0, meta < 0
+            nstack[sn] = ne
+            sn = jnp.minimum(sn + jnp.where(push_n, 1, 0), NSTACK - 1)
+            lstack[sl] = le
+            sl = jnp.minimum(sl + jnp.where(push_l, 1, 0), LSTACK - 1)
         sps[0] = sn
         sps[1] = sl
 
@@ -533,10 +577,13 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
 @functools.partial(
     jax.jit, static_argnames=("has_tri", "has_sph", "has_lin", "any_hit",
                               "n8", "interpret", "slot_order", "packet_w",
-                              "nn", "nl"))
-def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
+                              "nn", "nl", "n_inst", "tlas_rows"))
+def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
                      has_sph, has_lin, any_hit, n8=None, interpret=False,
-                     slot_order=False, packet_w=PACKET_W, nn=NN, nl=NL):
+                     slot_order=False, packet_w=PACKET_W, nn=NN, nl=NL,
+                     n_inst=0, tlas_rows=0):
+    assert not (n_inst and n8 is not None), \
+        "instanced walk is resident-only"
     n = ro.shape[0]
     rows = packet_w // LANES
     n_pad = (n + packet_w - 1) // packet_w * packet_w
@@ -567,21 +614,31 @@ def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
         pltpu.VMEM((8 * nn, LANES), jnp.float32),  # rank-permuted metas
     ]
     inputs = (table,)
-    n_tabs = 1
+    in_specs = [tab_spec]
     if n8 is not None:
         scratch += [
             pltpu.VMEM((max(nl, 8), LANES), jnp.float32),  # leaf DMA buffer
         ] + [pltpu.SemaphoreType.DMA(())] * nl
         inputs = (nodes4, table)
-        n_tabs = 2
+        in_specs = [tab_spec, tab_spec]
+    elif n_inst:
+        # instance aux table: whole [n_inst, 128] in VMEM every grid step
+        # (scalar-loaded: xforms, roots, bases); per-instance transformed
+        # ray scratch: 12 comps x rows per instance
+        aux_pad = jnp.pad(aux, ((0, 0), (0, LANES - aux.shape[1])))
+        scratch += [pltpu.VMEM((n_inst * 12 * rows, LANES), jnp.float32)]
+        inputs = (table, aux_pad)
+        in_specs = [tab_spec,
+                    pl.BlockSpec((n_inst, LANES), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
     kernel = functools.partial(
         _walk_kernel, has_tri=has_tri, has_sph=has_sph, has_lin=has_lin,
         any_hit=any_hit, n8=n8, slot_order=slot_order, rows=rows,
-        nn=nn, nl=nl)
+        nn=nn, nl=nl, n_inst=n_inst, tlas_rows=tlas_rows)
     t, p = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[tab_spec] * n_tabs + [ray_spec] * 8,
+        in_specs=in_specs + [ray_spec] * 8,
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
@@ -598,6 +655,8 @@ def _packet_tpu_call(table, nodes4, ro, rd, tmin, tmax, *, has_tri,
 
 
 def supports(scene, static) -> bool:
+    if getattr(static, "bvh8_n_inst", 0):
+        return True   # instanced tables are resident by construction
     rows = int(scene.bvh8_table.shape[0])
     if rows <= RESIDENT_MAX_ROWS:
         return True
@@ -617,12 +676,22 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
     n = ro.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)
+    n_inst = getattr(static, "bvh8_n_inst", 0)
+    if n_inst:
+        return _packet_tpu_call(
+            scene.bvh8_table, scene.bvh8_nodes4, scene.bvh8_aux,
+            ro, rd, tmin_b, tmax_b,
+            has_tri=static.has_triangles, has_sph=static.has_spheres,
+            has_lin=static.has_lines, any_hit=any_hit, n8=None,
+            interpret=interpret, slot_order=slot_order, nn=nn, nl=nl,
+            packet_w=packet_w, n_inst=n_inst,
+            tlas_rows=static.bvh8_tlas_rows)
     rows = int(scene.bvh8_table.shape[0])
     n8 = None
     if force_streamed or rows > RESIDENT_MAX_ROWS:
         n8 = static.bvh8_n8
     return _packet_tpu_call(
-        scene.bvh8_table, scene.bvh8_nodes4, ro, rd, tmin_b, tmax_b,
+        scene.bvh8_table, scene.bvh8_nodes4, None, ro, rd, tmin_b, tmax_b,
         has_tri=static.has_triangles, has_sph=static.has_spheres,
         has_lin=static.has_lines, any_hit=any_hit, n8=n8,
         interpret=interpret, slot_order=slot_order, nn=nn, nl=nl,

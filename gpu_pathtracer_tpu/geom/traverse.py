@@ -224,6 +224,14 @@ def intersect_any(scene, static, ro, rd, tmin, tmax):
     Returns a bool mask [N]."""
     from gpu_pathtracer_tpu.geom import dense, packet
     on_tpu = jax.default_backend() == "tpu"
+    if static.bvh8_n_inst:
+        # instanced (TLAS/BLAS) scenes: only the Pallas kernel reads the
+        # instanced table (interpret-mode off-TPU, for tests)
+        from gpu_pathtracer_tpu.geom import packet_tpu
+        _, _, found = packet_tpu.packet_traverse(
+            scene, static, ro, rd, tmin, tmax, any_hit=True,
+            interpret=not on_tpu)
+        return found
     if static.n_primitives <= dense.DENSE_MAX:
         if on_tpu:
             from gpu_pathtracer_tpu.geom import dense_tpu
@@ -251,7 +259,12 @@ def intersect_closest(scene, static, ro, rd, tmin, tmax) -> Hit:
     """
     from gpu_pathtracer_tpu.geom import dense, packet
     on_tpu = jax.default_backend() == "tpu"
-    if static.n_primitives <= dense.DENSE_MAX:
+    if static.bvh8_n_inst:
+        from gpu_pathtracer_tpu.geom import packet_tpu
+        best_t, best_prim, found = packet_tpu.packet_traverse(
+            scene, static, ro, rd, tmin, tmax, any_hit=False,
+            interpret=not on_tpu)
+    elif static.n_primitives <= dense.DENSE_MAX:
         if on_tpu:
             from gpu_pathtracer_tpu.geom import dense_tpu
             best_t, best_prim, found = dense_tpu.dense_closest(

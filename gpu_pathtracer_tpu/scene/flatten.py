@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
@@ -164,6 +166,10 @@ class DeviceScene:
     # VMEM-resident node scratch of the STREAMED TPU walk; ~1/8 the
     # bytes of the unified node rows so ~1M-prim node sets fit VMEM
     bvh8_nodes4: jnp.ndarray
+    # instanced traversal (geom/tlas.py): [n_inst, 16] rows of
+    # [world->blas 3x4 xform (12), blas root row, global slot base, pad].
+    # [1, 16] zeros when the scene is not instanced.
+    bvh8_aux: jnp.ndarray
 
     # packed attribute tables for MXU one-hot gathers (ops/gather.py):
     # prim_attrs [P, 40]: v0 v1 v2 | n0 n1 n2 | uv0 uv1 uv2 | dpdv |
@@ -214,6 +220,9 @@ class StaticConfig:
     bvh8_n8: int    # node-row count of the unified BVH8 table
     bvh8_rows: int  # total rows (nodes + leaves + dummy)
     material_types: tuple  # sorted tuple of MaterialType ints present
+    # instanced traversal (geom/tlas.py): 0/0 when not instanced
+    bvh8_tlas_rows: int = 0   # TLAS node rows at the front of the table
+    bvh8_n_inst: int = 0      # instance count (0 = flat scene)
 
 
 def _tri_dpdv(pos: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -334,8 +343,34 @@ def _prim_bboxes(scene: HostScene):
 def flatten_scene(scene: HostScene, cache: bool = True
                   ) -> tuple[DeviceScene, StaticConfig]:
     bmin, bmax = _prim_bboxes(scene)
-    bvh: FlatBVH = load_or_build_bvh(bmin, bmax, cache=cache)
-    order = bvh.prim_order
+    # Instanced (TLAS/BLAS) traversal for repeated meshes (geom/tlas.py):
+    # only the Pallas packet kernel reads the instanced table, so the
+    # plan activates on TPU (or under the test override). When active,
+    # the flat all-prims binary BVH is replaced by a 1-leaf stand-in —
+    # its prim_order carries the (instance, blas-local) slot layout the
+    # instanced kernel's `base + local` pid math assumes.
+    import jax as _jax
+
+    from gpu_pathtracer_tpu.geom import tlas as tlas_mod
+    plan = None
+    if (_jax.default_backend() == "tpu"
+            or os.environ.get("PTPU_FORCE_INSTANCING")):
+        plan = tlas_mod.plan_instances(scene, bmin, bmax, cache=cache)
+    if plan is None:
+        bvh: FlatBVH = load_or_build_bvh(bmin, bmax, cache=cache)
+        order = bvh.prim_order
+    else:
+        order = plan.order
+        wmin = bmin.min(0)
+        wmax = bmax.max(0)
+        bvh = FlatBVH(
+            bbox_min=wmin[None].astype(np.float32),
+            bbox_max=wmax[None].astype(np.float32),
+            is_leaf=np.ones(1, bool),
+            second_child=np.full(1, -1, np.int32),
+            start=np.zeros(1, np.int32),
+            end=np.asarray([order.shape[0] - 1], np.int32),
+            prim_order=order)
     P = order.shape[0]
 
     prim_type = np.zeros(P, np.int32)
@@ -605,7 +640,18 @@ def flatten_scene(scene: HostScene, cache: bool = True
     # Only the packet regime (P > DENSE_MAX after the blocked cap) walks
     # it, but mid-size scenes keep one for the CPU fallback path.
     from gpu_pathtracer_tpu.geom import bvh8 as bvh8_mod
-    bvh8_table, bvh8_n8 = bvh8_mod.build_bvh8(bvh, dense_prims[:P])
+    if plan is None:
+        bvh8_table, bvh8_n8 = bvh8_mod.build_bvh8(bvh, dense_prims[:P])
+        bvh8_aux = np.zeros((1, tlas_mod.AUX_COLS), np.float32)
+        bvh8_tlas_rows = 0
+        bvh8_n_inst = 0
+    else:
+        bvh8_table, bvh8_n8, bvh8_aux, bvh8_tlas_rows = \
+            tlas_mod.build_instanced_table(plan, dense_prims[:P],
+                                           bmin, bmax)
+        bvh8_n_inst = plan.n_inst
+        # plan_instances size-checked the table against the resident cap
+        # (the instanced kernel is resident-only)
     bvh8_nodes4 = bvh8_mod.pack_nodes4(bvh8_table, bvh8_n8)
 
     # packed attribute tables (see DeviceScene docstring for layout)
@@ -727,6 +773,7 @@ def flatten_scene(scene: HostScene, cache: bool = True
         block_bbox=jnp.asarray(block_bbox),
         bvh8_table=jnp.asarray(bvh8_table),
         bvh8_nodes4=jnp.asarray(bvh8_nodes4),
+        bvh8_aux=jnp.asarray(bvh8_aux),
         prim_attrs=jnp.asarray(prim_attrs),
         fused_attrs=jnp.asarray(fused_attrs),
         mat_attrs=jnp.asarray(mat_attrs),
@@ -764,6 +811,8 @@ def flatten_scene(scene: HostScene, cache: bool = True
         n_nodes=bvh.n_nodes,
         bvh8_n8=bvh8_n8,
         bvh8_rows=int(bvh8_table.shape[0]),
+        bvh8_tlas_rows=bvh8_tlas_rows,
+        bvh8_n_inst=bvh8_n_inst,
         material_types=tuple(sorted({int(m.type) for m in scene.materials})),
     )
     return dev, static

@@ -209,6 +209,15 @@ class Primitive:
 
 
 @dataclass
+class InstanceUnit:
+    """One scene[] mesh entry, for instanced (TLAS/BLAS) traversal:
+    repeated mesh_keys become instances of one BLAS (geom/tlas.py)."""
+    mesh_key: str          # resolved mesh path (identity of the geometry)
+    trs: np.ndarray        # [4, 4] object->world matrix of this entry
+    prim_ids: np.ndarray   # global primitive indices it contributed
+
+
+@dataclass
 class AreaLight:
     """area.h:7-42: one emissive triangle."""
     radiance: np.ndarray
@@ -228,6 +237,7 @@ class HostScene:
         default_factory=lambda: np.zeros((0, 3, 2), np.float32))
 
     primitives: list[Primitive] = field(default_factory=list)
+    units: list[InstanceUnit] = field(default_factory=list)
     materials: list[Material] = field(default_factory=list)
     bssrdfs: list[Bssrdf] = field(default_factory=list)
     mediums: list[Medium] = field(default_factory=list)

@@ -19,8 +19,8 @@ from gpu_pathtracer_tpu.film.imageio import (
 from gpu_pathtracer_tpu.scene import objloader
 from gpu_pathtracer_tpu.scene.model import (
     AreaLight, Bssrdf, CameraConfig, GeometryType, HostScene, InfiniteLight,
-    IntegratorConfig, IntegratorType, Material, MaterialType, Medium,
-    MediumType, Primitive, Texture,
+    InstanceUnit, IntegratorConfig, IntegratorType, Material, MaterialType,
+    Medium, MediumType, Primitive, Texture,
 )
 
 _MAT_MAP = {
@@ -216,14 +216,19 @@ def load_scene(path: str) -> HostScene:
                 unit.get("translate", [0, 0, 0]),
                 unit.get("rotate", [0, 0, 0]),
                 unit.get("scale", [1, 1, 1]))
+            mesh_path = os.path.join(base, unit["mesh"])
             mesh = objloader.transform_mesh(
-                objloader.load_obj(os.path.join(base, unit["mesh"])), trs)
+                objloader.load_obj(mesh_path), trs)
             tri_ids = scene.append_triangles(mesh)
+            p_start = len(scene.primitives)
             for t in tri_ids:
                 scene.primitives.append(Primitive(
                     type=GeometryType.TRIANGLE, tri_index=int(t),
                     matIdx=mat_idx, bssrdfIdx=bssrdf_idx,
                     mediumInside=mi, mediumOutside=mo))
+            scene.units.append(InstanceUnit(
+                mesh_key=os.path.normpath(mesh_path), trs=trs,
+                prim_ids=np.arange(p_start, len(scene.primitives))))
         elif "line" in unit:
             mat_name = unit.get("material", "matte")
             mat_idx = mat_names.index(mat_name)  # raises like the reference
