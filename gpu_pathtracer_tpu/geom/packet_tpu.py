@@ -463,10 +463,12 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                          ldummy_e) for i in range(nl)]
         sps[1] = jnp.maximum(sl - nl, 0)
         if instanced:
-            nps = [e // S for e in nes]
-            nis = [e % S for e in nes]
-            lps = [e // S for e in les]
-            lis = [e % S for e in les]
+            # S = 2048: decode via shift/mask (scalar int div/mod lowers
+            # poorly in Mosaic)
+            nps = [jax.lax.shift_right_logical(e, 11) for e in nes]
+            nis = [jax.lax.bitwise_and(e, S - 1) for e in nes]
+            lps = [jax.lax.shift_right_logical(e, 11) for e in les]
+            lis = [jax.lax.bitwise_and(e, S - 1) for e in les]
         else:
             nps, nis = nes, [None] * nn
             lps, lis = les, None
@@ -625,11 +627,13 @@ def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
         # instance aux table: whole [n_inst, 128] in VMEM every grid step
         # (scalar-loaded: xforms, roots, bases); per-instance transformed
         # ray scratch: 12 comps x rows per instance
-        aux_pad = jnp.pad(aux, ((0, 0), (0, LANES - aux.shape[1])))
+        n_inst_pad = (n_inst + 7) // 8 * 8   # sublane-aligned block
+        aux_pad = jnp.pad(aux, ((0, n_inst_pad - aux.shape[0]),
+                                (0, LANES - aux.shape[1])))
         scratch += [pltpu.VMEM((n_inst * 12 * rows, LANES), jnp.float32)]
         inputs = (table, aux_pad)
         in_specs = [tab_spec,
-                    pl.BlockSpec((n_inst, LANES), lambda i: (0, 0),
+                    pl.BlockSpec((n_inst_pad, LANES), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)]
     kernel = functools.partial(
         _walk_kernel, has_tri=has_tri, has_sph=has_sph, has_lin=has_lin,
