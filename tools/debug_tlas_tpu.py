@@ -46,6 +46,16 @@ def main():
         pid = (np.asarray(pi) == np.asarray(pk))[both]
         print("t maxdiff", dt.max(), "pid agreement", pid.mean())
 
+    # any-hit (shadow) with finite tmax — the NEE regime
+    tmax = jnp.full(ro.shape[0], 2.0, jnp.float32)
+    _, _, ai = jax.block_until_ready(packet_tpu.packet_traverse(
+        dev, static, ro, rd, 1e-3, tmax, any_hit=True, interpret=True))
+    _, _, ak = jax.block_until_ready(packet_tpu.packet_traverse(
+        dev, static, ro, rd, 1e-3, tmax, any_hit=True))
+    print("any-hit interpret blocked", int(ai.sum()),
+          "kernel blocked", int(ak.sum()),
+          "agreement", float((np.asarray(ai) == np.asarray(ak)).mean()))
+
 
 if __name__ == "__main__":
     main()
