@@ -104,16 +104,22 @@ def bench_integrators(size=512):
         size = 32
     out = {}
     for name, iters in INTEG_MATRIX:
-        host = load_scene("/root/reference/scenes/cornell_box/scene.json")
-        host.width = host.height = size
-        r = Renderer(host, integrator=_INTEGRATOR_MAP[name])
-        r.render(1)   # compile + warm
-        t0 = time.time()
-        r.render(iters)
-        dt = (time.time() - t0) / iters
-        out[name] = round(1.0 / dt, 4)
-        print(f"# integ {name}: {1 / dt:.3f} spp/s @{size}^2 "
-              f"depth {r.static.max_depth}", file=sys.stderr)
+        try:
+            host = load_scene("/root/reference/scenes/cornell_box/scene.json")
+            host.width = host.height = size
+            r = Renderer(host, integrator=_INTEGRATOR_MAP[name])
+            r.render(1)   # compile + warm
+            t0 = time.time()
+            r.render(iters)
+            dt = (time.time() - t0) / iters
+            out[name] = round(1.0 / dt, 4)
+            print(f"# integ {name}: {1 / dt:.3f} spp/s @{size}^2 "
+                  f"depth {r.static.max_depth}", file=sys.stderr)
+        except Exception as e:  # a dead TPU client can't recover anyway,
+            # but a single-stage fault must not kill the whole artifact
+            print(f"# integ {name}: FAILED ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            out[name] = -1.0
     return out
 
 

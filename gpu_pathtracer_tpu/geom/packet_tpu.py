@@ -13,10 +13,10 @@ inside one Pallas program:
   stacks live in SMEM (scalar memory), the traversal state (best_t,
   best_prim) in registers, so a packet only pays for the nodes IT
   visits (average, not max, step count);
-- every while iteration UNCONDITIONALLY processes 2 node rows + 2 leaf
-  rows (dummy rows when a stack runs short): a node-vs-leaf `lax.cond`
-  measured ~1 us/iteration of pipeline breakage on v5e, far more than
-  the dummy work costs;
+- every while iteration UNCONDITIONALLY processes `nn` node rows + `nl`
+  leaf rows (dummy rows when a stack runs short): a node-vs-leaf
+  `lax.cond` measured ~1 us/iteration of pipeline breakage on v5e, far
+  more than the dummy work costs;
 - per node row: 8 child slab tests as dense [W/128, 128] VPU math
   against scalar-broadcast child boxes; all hit flags of an iteration
   are packed vector-side into ONE bitmask so a single vector->scalar
@@ -28,6 +28,15 @@ inside one Pallas program:
 Replaces the CUDA per-thread stack walk (pathtracer.cu:214-296) for
 large scenes; intersection semantics match geom/traverse.py
 (Moller-Trumbore mesh.h:45-67, sphere.h:26-94, line.h:33-87).
+
+Packet width: Mosaic requires ray blocks of >=8 sublane rows, but the
+iteration count per packet grows with the UNION of the packet's rays'
+subtrees — incoherent bounce rays want narrower packets than the 1024
+minimum a block implies. packet_w < 1024 therefore runs SUB-PACKETS:
+one grid step loads an 8-row block and walks its 1024//W independent
+W-ray packets sequentially (separate stack resets, shared scratch).
+Exact-policy simulation on the dragon BVH8 (tools/sim_walk_stats.py)
+picks the shipped default (PACKET_W, NN, NL).
 
 Capacity — two regimes, chosen by table size vs VMEM (~16 MB/core):
 - RESIDENT (rows <= RESIDENT_MAX_ROWS): the whole unified table is
@@ -58,9 +67,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 PACKET_W = int(os.environ.get("PTPU_PACKET_W", "1024"))
-                        # rays per packet = one grid step (ROWS must be
-                        # a multiple of 8 — Mosaic block-shape rule)
-ROWS = PACKET_W // LANES
+                        # rays per packet; < 1024 runs sub-packets of an
+                        # 8-row block (Mosaic block-shape rule)
 NN = int(os.environ.get("PTPU_NN", "1"))   # node rows popped / iteration
 NL = int(os.environ.get("PTPU_NL", "2"))   # leaf rows popped / iteration
 NSTACK = 512            # node stack: bounded by bvh8 depth * 14 + 16
@@ -68,6 +76,7 @@ LSTACK = 4096           # leaf backlog: pushes <= 16/iter, drains 2/iter
 RESIDENT_MAX_ROWS = 24576   # 12 MB of VMEM for the resident table
 NODE4_MAX_ROWS = 24576      # 12 MB cap on the bf16-packed node rows
                             # (4 nodes/row -> ~98k nodes/MB: ~7M prims)
+BLOCK_ROWS = 8          # Mosaic minimum sublane rows per ray block
 
 
 def _safe_inv(d):
@@ -77,7 +86,7 @@ def _safe_inv(d):
 
 
 def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
-                 slot_order=False, rows=ROWS, nn=1, nl=2, n_inst=0,
+                 slot_order=False, rows=8, subpk=1, nn=1, nl=2, n_inst=0,
                  tlas_rows=0):
     """Dual-stack, branch-free packet walk.
 
@@ -89,14 +98,11 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     single packed-bitmask vector->scalar sync per iteration (~0.2 us)
     replaces what would be `16` separate `jnp.any` syncs.
 
-    Default (nn=1, nl=2) is LEAF-PRIORITY: draining discovered leaf
-    rows before expanding more nodes tightens best_t earlier, so far
-    fewer rows are ever expanded. Exact-policy simulation on the
-    dragon BVH8 (tools/sim_walk_stats.py, sorted bounce rays, W=1024):
-    (2,2) expands 136.7 node + 190.0 leaf rows per packet; (1,2)
-    expands 58.1 + 72.1 — ~2.2x less modeled VPU work. nl=1 starves
-    (the leaf backlog outruns one drain/iter and best_t goes stale:
-    228.7 leaf rows); nl>2 just burns dummy rows.
+    `rows` is the PACKET's ray rows (packet_w/128); `subpk` packets are
+    walked sequentially per grid step so the ray block keeps Mosaic's
+    8-sublane minimum. Narrow packets trade per-iteration row cost
+    against union-growth of the per-packet subtree (the sim sweep in
+    tools/sim_walk_stats.py decides the shipped default).
 
     n8 is None => RESIDENT mode (tab holds the whole unified table);
     else STREAMED mode: tab holds the bf16-packed 4-nodes/row table
@@ -135,50 +141,6 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
         cp.start()
         cp.wait()
 
-    rox, roy, roz = ox[...], oy[...], oz[...]
-    rdx, rdy, rdz = dx[...], dy[...], dz[...]
-    tmin = tmn[...]
-    tmax = tmx[...]
-    ix = _safe_inv(rdx)
-    iy = _safe_inv(rdy)
-    iz = _safe_inv(rdz)
-    oix = rox * ix          # hoisted o*inv: slab planes become FMAs
-    oiy = roy * iy
-    oiz = roz * iz
-    live = tmax > 0.0       # padded lanes carry tmax <= 0
-
-    if instanced:
-        # pre-transform the packet into every instance frame ONCE (the
-        # map is affine, so the hit parameter t is world-invariant and
-        # d' stays unnormalized — Moller-Trumbore is exact either way).
-        # ~35 vector ops + 12 scalar broadcasts per instance, amortized
-        # over the whole walk.
-        for i in range(n_inst):
-            m = [aux[i, k] for k in range(12)]
-            tox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
-            toy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
-            toz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
-            tdx = m[0] * rdx + m[1] * rdy + m[2] * rdz
-            tdy = m[4] * rdx + m[5] * rdy + m[6] * rdz
-            tdz = m[8] * rdx + m[9] * rdy + m[10] * rdz
-            tix = _safe_inv(tdx)
-            tiy = _safe_inv(tdy)
-            tiz = _safe_inv(tdz)
-            comps = (tox, toy, toz, tdx, tdy, tdz, tix, tiy, tiz,
-                     tox * tix, toy * tiy, toz * tiz)
-            for c, v in enumerate(comps):
-                xray[pl.ds(i * 12 * rows + c * rows, rows), :] = v
-
-    def ray_comps(inst, c0, k=3):
-        """k consecutive ray components [rows, 128] of instance `inst`
-        (traced scalar), starting at comp id c0."""
-        if not instanced:
-            direct = (rox, roy, roz, rdx, rdy, rdz, ix, iy, iz,
-                      oix, oiy, oiz)
-            return direct[c0:c0 + k]
-        off = inst * (12 * rows)
-        return tuple(xray[pl.ds(off + (c0 + j) * rows, rows), :]
-                     for j in range(k))
     if streamed:
         # node ids decode as (row id>>2, quarter id&3); the packed
         # table's trailing zero row makes id 4*(rows-1) an all-zero
@@ -188,9 +150,6 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     else:
         dummy = tab.shape[0] - 1
         ldummy = dummy
-    sps[0] = 1              # node stack: root row 0 pre-pushed
-    sps[1] = 0              # leaf stack
-    nstack[0] = 0
 
     BIG = jnp.float32(3.0e38)   # "no push" distance: sorts last
 
@@ -209,371 +168,444 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     subC = jax.lax.broadcasted_iota(jnp.int32, (ncand, LANES), 0)
     HIMASK = jnp.int32(np.int32(np.uint32(0xFFFF0000)))
 
-    def node_tests(row, base, best_t, inst=None):
-        """8 child slab tests of one node row: every term is an
-        [8 children, 128] x [1, 128] broadcast against a ray ROW — a
-        scalar-load + scalar->vector broadcast per field measured
-        ~10-15 cycles EACH on v5e (56/node dominated the old step).
+    bx, by, bz = ox[...], oy[...], oz[...]
+    bdx, bdy, bdz = dx[...], dy[...], dz[...]
+    btmin, btmax = tmn[...], tmx[...]
 
-        Returns ([1,128] meta_lane, [1,128] dist_lane): child c's
-        effective meta (0 when unhit/empty) and packet-min entry
-        distance staged at LANE base+c, ready for the vector-side
-        near-first ranking in `body` (sublane->lane move via the
-        iota-select + sum-over-sublanes trick).
+    def walk_sub(sp):
+        """Walk one `rows`-row sub-packet (block rows [sp*rows, +rows))."""
+        sl_ = slice(sp * rows, (sp + 1) * rows)
+        rox, roy, roz = bx[sl_], by[sl_], bz[sl_]
+        rdx, rdy, rdz = bdx[sl_], bdy[sl_], bdz[sl_]
+        tmin = btmin[sl_]
+        tmax = btmax[sl_]
+        ix = _safe_inv(rdx)
+        iy = _safe_inv(rdy)
+        iz = _safe_inv(rdz)
+        oix = rox * ix          # hoisted o*inv: slab planes become FMAs
+        oiy = roy * iy
+        oiz = roz * iz
+        live = tmax > 0.0       # padded lanes carry tmax <= 0
 
-        STREAMED mode decodes the bf16-packed quarter-row node record:
-        each box axis is two directed-rounded bf16s in one f32 bit
-        carrier (min high half, max low half — bvh8.pack_nodes4)."""
-        if streamed:
-            row8 = jnp.broadcast_to(tab[pl.ds(row >> 2, 1), :], (8, LANES))
-            idxc = child4 + (row & 3) * 32
-
-            def unpack(off):
-                v = jax.lax.bitcast_convert_type(
-                    jnp.take_along_axis(row8, idxc + off, axis=1),
-                    jnp.int32)
-                mn = jax.lax.bitcast_convert_type(v & HIMASK, jnp.float32)
-                mx = jax.lax.bitcast_convert_type(
-                    jnp.left_shift(v, 16), jnp.float32)
-                return mn, mx
-
-            bx0, bx1 = unpack(0)
-            by0, by1 = unpack(1)
-            bz0, bz1 = unpack(2)
-            metac = jnp.take_along_axis(row8, idxc + 3, axis=1)
-        else:
-            row8 = jnp.broadcast_to(tab[pl.ds(row, 1), :], (8, LANES))
-
-            def fld(f):
-                return jnp.take_along_axis(row8, child8 + f, axis=1)
-
-            bx0, by0, bz0 = fld(0), fld(1), fld(2)
-            bx1, by1, bz1 = fld(3), fld(4), fld(5)
-            metac = fld(6)
-        nix, niy, niz = ray_comps(inst, 6)
-        noix, noiy, noiz = ray_comps(inst, 9)
-        h_any = None
-        dmin = None
-        for rr in range(rows):
-            # slab planes as FMAs: box*inv - o*inv, with o*inv hoisted
-            # out of the while loop (oix/oiy/oiz) — one VPU op per
-            # plane instead of sub+mul
-            t1 = bx0 * nix[rr:rr + 1, :] - noix[rr:rr + 1, :]
-            t2 = bx1 * nix[rr:rr + 1, :] - noix[rr:rr + 1, :]
-            tn = jnp.minimum(t1, t2)
-            tf = jnp.maximum(t1, t2)
-            t1 = by0 * niy[rr:rr + 1, :] - noiy[rr:rr + 1, :]
-            t2 = by1 * niy[rr:rr + 1, :] - noiy[rr:rr + 1, :]
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            t1 = bz0 * niz[rr:rr + 1, :] - noiz[rr:rr + 1, :]
-            t2 = bz1 * niz[rr:rr + 1, :] - noiz[rr:rr + 1, :]
-            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            hit = (tf > 1e-5) & (tn <= tf) \
-                & (tn <= best_t[rr:rr + 1, :]) & live[rr:rr + 1, :]
-            h = jnp.where(hit, 1, 0)
-            h_any = h if h_any is None else jnp.maximum(h_any, h)
-            d = jnp.where(hit, tn, BIG)
-            dmin = d if dmin is None else jnp.minimum(dmin, d)
-        # packet aggregates per child: any-lane hit, min-over-lanes tn
-        h_red = jnp.max(h_any, axis=1, keepdims=True)      # [8, 1]
-        d_red = jnp.min(dmin, axis=1, keepdims=True)       # [8, 1]
-        # meta == 0 marks an empty child slot (whose inverted bbox
-        # alone does NOT fail the slab test: -inf <= +inf)
-        meta_col = metac[:, 0:1]                           # lane-uniform
-        meta_eff = jnp.where((h_red > 0) & (meta_col != 0.0), meta_col, 0.0)
-        d_red = jnp.where(meta_eff != 0.0, d_red, BIG)
-        # sublane->lane: child c's [8,1] packet-aggregate lands at lane
-        # base+c of a [1,128] row (select-by-iota, sum over sublanes —
-        # Mosaic has no shape-cast for this move)
-        sel = lane8 == (sub8 + base)
-        meta_lane = jnp.sum(jnp.where(sel, meta_eff, 0.0),
-                            axis=0, keepdims=True)
-        dist_lane = jnp.sum(jnp.where(sel, d_red, 0.0),
-                            axis=0, keepdims=True)
-        return meta_lane, dist_lane
-
-    def leaf_tests(rows_nl, best_t, insts=None):
-        """All 8 slots of each popped leaf row ([1, 128] arrays) vs every
-        ray row, in the transposed [8 slots, 128] x [1, 128 rays]
-        broadcast form, reduced over slots per ray row and reassembled
-        to [ROWS, 128]. In instanced mode each leaf row carries its own
-        instance (insts, traced scalars): rays come from that instance's
-        pre-transformed slice and the BLAS-local pid gets the instance's
-        global slot base added."""
-        cols = []
-        for li, row in enumerate(rows_nl):
-            row8 = jnp.broadcast_to(row, (8, LANES))
-
-            def g(f, row8=row8):
-                return jnp.take_along_axis(row8, slot16 + f, axis=1)
-
-            inst = insts[li] if instanced else None
-            crox, croy, croz, crdx, crdy, crdz = ray_comps(inst, 0, 6)
-            cols.append(dict(
-                v0x=g(0), v0y=g(1), v0z=g(2),
-                ax=g(3), ay=g(4), az=g(5),
-                bx=g(6), by=g(7), bz=g(8),
-                ptype=g(9), r0=g(10), r1=g(11),
-                pid=g(12), valid=g(13),
-                rox=crox, roy=croy, roz=croz,
-                rdx=crdx, rdy=crdy, rdz=crdz,
-                base=(aux[inst, 13] if instanced else 0.0)))
-        t_rows = []
-        p_rows = []
-        for rr in range(rows):
-            tmin_r = tmin[rr:rr + 1, :]
-            bt_r = best_t[rr:rr + 1, :]
-            live_r = live[rr:rr + 1, :]
-            tm_best = None
-            pm_best = None
-            for cc in cols:
-                ro_x = cc["rox"][rr:rr + 1, :]
-                ro_y = cc["roy"][rr:rr + 1, :]
-                ro_z = cc["roz"][rr:rr + 1, :]
-                rd_x = cc["rdx"][rr:rr + 1, :]
-                rd_y = cc["rdy"][rr:rr + 1, :]
-                rd_z = cc["rdz"][rr:rr + 1, :]
-                ok = None
-                t = None
-                if has_tri:
-                    # Moller-Trumbore (mesh.h:45-67); every product is
-                    # a [8,1] x [1,128] rank-1 broadcast
-                    s1x = cc["bz"] * rd_y - cc["by"] * rd_z
-                    s1y = cc["bx"] * rd_z - cc["bz"] * rd_x
-                    s1z = cc["by"] * rd_x - cc["bx"] * rd_y
-                    div = s1x * cc["ax"] + s1y * cc["ay"] + s1z * cc["az"]
-                    okt = jnp.abs(div) >= 1e-8
-                    inv = 1.0 / jnp.where(okt, div, 1.0)
-                    sx = ro_x - cc["v0x"]
-                    sy = ro_y - cc["v0y"]
-                    sz = ro_z - cc["v0z"]
-                    b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
-                    s2x = sy * cc["az"] - sz * cc["ay"]
-                    s2y = sz * cc["ax"] - sx * cc["az"]
-                    s2z = sx * cc["ay"] - sy * cc["ax"]
-                    b2 = (rd_x * s2x + rd_y * s2y + rd_z * s2z) * inv
-                    tt = (cc["bx"] * s2x + cc["by"] * s2y
-                          + cc["bz"] * s2z) * inv
-                    okt &= (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) \
-                        & (b1 + b2 <= 1.0) & (tt >= tmin_r) & (tt <= bt_r)
-                    okt &= cc["ptype"] == 0.0
-                    ok, t = okt, tt
-                if has_sph:
-                    # sphere quadratic (sphere.h:26-94)
-                    opx = ro_x - cc["v0x"]
-                    opy = ro_y - cc["v0y"]
-                    opz = ro_z - cc["v0z"]
-                    bq = opx * rd_x + opy * rd_y + opz * rd_z
-                    cq = opx * opx + opy * opy + opz * opz \
-                        - cc["r0"] * cc["r0"]
-                    delta = bq * bq - cq
-                    oks = delta >= 0.0
-                    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
-                    tq1 = -bq - sq
-                    tq2 = -bq + sq
-                    use1 = tq1 > tmin_r
-                    ts = jnp.where(use1, tq1, tq2)
-                    oks &= (ts > 0.0) & (ts <= bt_r)
-                    oks &= use1 | (tq1 > 0.0) | (tq2 > tmin_r)
-                    oks &= cc["ptype"] == 2.0
-                    ok = oks if ok is None else ok | oks
-                    t = ts if t is None else jnp.where(oks, ts, t)
-                if has_lin:
-                    # ray/segment closest approach (line.h:33-87)
-                    vx = cc["ax"] - cc["v0x"]
-                    vy = cc["ay"] - cc["v0y"]
-                    vz = cc["az"] - cc["v0z"]
-                    wx = ro_x - cc["v0x"]
-                    wy = ro_y - cc["v0y"]
-                    wz = ro_z - cc["v0z"]
-                    aa = rd_x * rd_x + rd_y * rd_y + rd_z * rd_z
-                    bb = rd_x * vx + rd_y * vy + rd_z * vz
-                    ccd = vx * vx + vy * vy + vz * vz
-                    dd = rd_x * wx + rd_y * wy + rd_z * wz
-                    ee = vx * wx + vy * wy + vz * wz
-                    det = aa * ccd - bb * bb
-                    okl = det != 0.0
-                    det_s = jnp.where(okl, det, 1.0)
-                    tl = (bb * ee - ccd * dd) / det_s
-                    sl_ = jnp.clip((aa * ee - bb * dd) / det_s, 0.0, 1.0)
-                    okl &= (tl >= tmin_r) & (tl <= bt_r)
-                    prx = wx + rd_x * tl - vx * sl_
-                    pry = wy + rd_y * tl - vy * sl_
-                    prz = wz + rd_z * tl - vz * sl_
-                    d2 = prx * prx + pry * pry + prz * prz
-                    rrad = cc["r0"] * (1.0 - sl_) + cc["r1"] * sl_
-                    okl &= d2 <= rrad * rrad
-                    okl &= cc["ptype"] == 1.0
-                    ok = okl if ok is None else ok | okl
-                    t = tl if t is None else jnp.where(okl, tl, t)
-                ok &= (cc["valid"] != 0.0) & live_r
-                tm = jnp.where(ok, t, jnp.inf)            # [8, 128]
-                t_min = jnp.min(tm, axis=0, keepdims=True)
-                pm = jnp.max(jnp.where(tm == t_min, cc["pid"], -1.0),
-                             axis=0, keepdims=True)
-                # instanced: BLAS-local pid + instance slot base = GLOBAL
-                pm = jnp.where(t_min < jnp.inf, pm + cc["base"], -1.0)
-                if tm_best is None:
-                    tm_best, pm_best = t_min, pm
-                else:
-                    take = t_min < tm_best
-                    tm_best = jnp.where(take, t_min, tm_best)
-                    pm_best = jnp.where(take, pm, pm_best)
-            t_rows.append(tm_best)
-            p_rows.append(pm_best)
-        return (jnp.concatenate(t_rows, axis=0),
-                jnp.concatenate(p_rows, axis=0))
-
-    def start_leaf_copies(ls):
-        for i, li in enumerate(ls):
-            pltpu.make_async_copy(tab_hbm.at[pl.ds(li, 1)],
-                                  lbuf.at[pl.ds(i, 1)], lsems[i]).start()
-
-    def wait_leaf_copies():
-        for i in range(nl):
-            pltpu.make_async_copy(tab_hbm.at[pl.ds(0, 1)],
-                                  lbuf.at[pl.ds(i, 1)], lsems[i]).wait()
-
-    def cond(state):
-        return state[0]
-
-    def body(state):
-        _, best_t, best_p = state
-        # test the leaf rows fetched for this iteration: VMEM reads in
-        # RESIDENT mode, last iteration's DMA buffer in STREAMED mode
-        # (one-iteration software pipeline hides the HBM latency behind
-        # this iteration's node tests; the first wait consumes the
-        # dummy-row priming copies)
-        if streamed:
-            wait_leaf_copies()
-            rows_nl = tuple(lbuf[i:i + 1, :] for i in range(nl))
-        # pop up to nn nodes and nl leaves (DUMMY when short). Instanced
-        # entries decode as (row, inst) = (e // S, e % S); the dummy
-        # entry rides instance 0 (identity).
-        dummy_e = dummy * S if instanced else dummy
-        ldummy_e = ldummy * S if instanced else ldummy
-        sn = sps[0]
-        nes = [jnp.where(sn > i, nstack[jnp.maximum(sn - 1 - i, 0)],
-                         dummy_e) for i in range(nn)]
-        sps[0] = jnp.maximum(sn - nn, 0)
-        sl = sps[1]
-        les = [jnp.where(sl > i, lstack[jnp.maximum(sl - 1 - i, 0)],
-                         ldummy_e) for i in range(nl)]
-        sps[1] = jnp.maximum(sl - nl, 0)
         if instanced:
-            # S = 2048: decode via shift/mask (scalar int div/mod lowers
-            # poorly in Mosaic)
-            nps = [jax.lax.shift_right_logical(e, 11) for e in nes]
-            nis = [jax.lax.bitwise_and(e, S - 1) for e in nes]
-            lps = [jax.lax.shift_right_logical(e, 11) for e in les]
-            lis = [jax.lax.bitwise_and(e, S - 1) for e in les]
-        else:
-            nps, nis = nes, [None] * nn
-            lps, lis = les, None
-        if streamed:
-            start_leaf_copies(lps)
-        else:
-            rows_nl = tuple(tab[pl.ds(li, 1), :] for li in lps)
+            # pre-transform the sub-packet into every instance frame ONCE
+            # (the map is affine, so the hit parameter t is world-invariant
+            # and d' stays unnormalized — Moller-Trumbore is exact either
+            # way). ~35 vector ops + 12 scalar broadcasts per instance,
+            # amortized over the whole walk.
+            for i in range(n_inst):
+                m = [aux[i, k] for k in range(12)]
+                tox = m[0] * rox + m[1] * roy + m[2] * roz + m[3]
+                toy = m[4] * rox + m[5] * roy + m[6] * roz + m[7]
+                toz = m[8] * rox + m[9] * roy + m[10] * roz + m[11]
+                tdx = m[0] * rdx + m[1] * rdy + m[2] * rdz
+                tdy = m[4] * rdx + m[5] * rdy + m[6] * rdz
+                tdz = m[8] * rdx + m[9] * rdy + m[10] * rdz
+                tix = _safe_inv(tdx)
+                tiy = _safe_inv(tdy)
+                tiz = _safe_inv(tdz)
+                comps = (tox, toy, toz, tdx, tdy, tdz, tix, tiy, tiz,
+                         tox * tix, toy * tiy, toz * tiz)
+                for c, v in enumerate(comps):
+                    xray[pl.ds(i * 12 * rows + c * rows, rows), :] = v
 
-        node_md = [node_tests(nps[i], 8 * i, best_t, nis[i])
-                   for i in range(nn)]
-        t_cand, p_cand = leaf_tests(rows_nl, best_t, lis)
-        upd = t_cand < jnp.inf   # ok already implies t <= entry best_t
-        best_t = jnp.where(upd, t_cand, best_t)
-        best_p = jnp.where(upd, p_cand, best_p)
+        def ray_comps(inst, c0, k=3):
+            """k consecutive ray components [rows, 128] of instance
+            `inst` (traced scalar), starting at comp id c0."""
+            if not instanced:
+                direct = (rox, roy, roz, rdx, rdy, rdz, ix, iy, iz,
+                          oix, oiy, oiz)
+                return direct[c0:c0 + k]
+            off = inst * (12 * rows)
+            return tuple(xray[pl.ds(off + (c0 + j) * rows, rows), :]
+                         for j in range(k))
 
-        # NEAR-FIRST ordering of this iteration's <=ncand pushes
-        # (measured on the dragon BVH8: 857 -> 186 iters/packet on
-        # incoherent rays, tools/sim_walk.py): rank the candidates by
-        # packet-min entry distance, then push far-to-near so the
-        # nearest node pops first and tightens best_t before the rest
-        # are popped. All vector-side: rank_c = #{j : (dist_j, j) <
-        # (dist_c, c)} is an [ncand,128] compare + sublane sum; the
-        # permuted metas are a one-hot lane sum scattered to sublane
-        # rank_c.
-        meta_lane = node_md[0][0]            # disjoint lanes per node
-        dist_lane = node_md[0][1]
-        for md, dd in node_md[1:]:
-            meta_lane = meta_lane + md
-            dist_lane = dist_lane + dd
-        if slot_order:
-            # A/B reference policy: child-slot order (the pre-ordering
-            # kernel's behavior — last child popped first)
-            rank = (ncand - 1) - laneC[0:1, :]
-        else:
-            dC = jnp.take_along_axis(
-                jnp.broadcast_to(dist_lane, (ncand, LANES)), subC, axis=1)
-            lt = (dC < dist_lane) \
-                | ((dC == dist_lane) & (subC < laneC))
-            rank = jnp.sum(jnp.where(lt, 1, 0), axis=0, keepdims=True)
-        oh = (jnp.broadcast_to(rank, (ncand, LANES)) == subC) \
-            & (laneC < ncand)
-        perm = jnp.sum(
-            jnp.where(oh, jnp.broadcast_to(meta_lane, (ncand, LANES)), 0.0),
-            axis=1, keepdims=True)           # sublane r = meta @ rank r
-        mscr[...] = jnp.broadcast_to(perm, (ncand, LANES))
+        sps[0] = 1              # node stack: root row 0 pre-pushed
+        sps[1] = 0              # leaf stack
+        nstack[0] = 0
 
-        # branch-free pushes: ALWAYS store at the stack top, advance the
-        # pointer only when the candidate is real (meta != 0 folds the
-        # hit flag in) — a `pl.when` per child measured ~100 ns of
-        # branch overhead each; stale writes above sp are never read.
-        # The farthest rank (or dummy) pushes first, rank 0 lands on top.
-        sn = jnp.minimum(sps[0], NSTACK - 1)
-        sl = jnp.minimum(sps[1], LSTACK - 1)
-        if instanced:
-            is_tlas = [nps[i] < tlas_rows for i in range(nn)]
-        for r in range(ncand - 1, -1, -1):
-            meta = mscr[r, 0].astype(jnp.int32)
-            if instanced:
-                # TLAS rows have no leaf children: negative meta there is
-                # an INSTANCE entry -(i+1) -> push (blas root of i, i);
-                # positive meta is a TLAS subrow (rides instance 0, which
-                # TLAS pops always carry). BLAS rows keep the flat
-                # conventions with the popped row's instance inherited.
-                it = is_tlas[r // 8]
-                inst_s = nis[r // 8]
-                im = jnp.maximum(-meta - 1, 0)
-                root = aux[im, 12].astype(jnp.int32)
-                ne = jnp.where(it & (meta < 0), root * S + im,
-                               meta * S + inst_s)
-                push_n = jnp.where(it, meta != 0, meta > 0)
-                le = (-meta) * S + inst_s
-                push_l = (~it) & (meta < 0)
+        def node_tests(row, base, best_t, inst=None):
+            """8 child slab tests of one node row: every term is an
+            [8 children, 128] x [1, 128] broadcast against a ray ROW — a
+            scalar-load + scalar->vector broadcast per field measured
+            ~10-15 cycles EACH on v5e (56/node dominated the old step).
+
+            Returns ([1,128] meta_lane, [1,128] dist_lane): child c's
+            effective meta (0 when unhit/empty) and packet-min entry
+            distance staged at LANE base+c, ready for the vector-side
+            near-first ranking in `body` (sublane->lane move via the
+            iota-select + sum-over-sublanes trick).
+
+            STREAMED mode decodes the bf16-packed quarter-row node
+            record: each box axis is two directed-rounded bf16s in one
+            f32 bit carrier (min high half, max low half —
+            bvh8.pack_nodes4)."""
+            if streamed:
+                row8 = jnp.broadcast_to(tab[pl.ds(row >> 2, 1), :],
+                                        (8, LANES))
+                idxc = child4 + (row & 3) * 32
+
+                def unpack(off):
+                    v = jax.lax.bitcast_convert_type(
+                        jnp.take_along_axis(row8, idxc + off, axis=1),
+                        jnp.int32)
+                    mn = jax.lax.bitcast_convert_type(v & HIMASK,
+                                                      jnp.float32)
+                    mx = jax.lax.bitcast_convert_type(
+                        jnp.left_shift(v, 16), jnp.float32)
+                    return mn, mx
+
+                bx0, bx1 = unpack(0)
+                by0, by1 = unpack(1)
+                bz0, bz1 = unpack(2)
+                metac = jnp.take_along_axis(row8, idxc + 3, axis=1)
             else:
-                ne, le = meta, -meta
-                push_n, push_l = meta > 0, meta < 0
-            nstack[sn] = ne
-            sn = jnp.minimum(sn + jnp.where(push_n, 1, 0), NSTACK - 1)
-            lstack[sl] = le
-            sl = jnp.minimum(sl + jnp.where(push_l, 1, 0), LSTACK - 1)
-        sps[0] = sn
-        sps[1] = sl
+                row8 = jnp.broadcast_to(tab[pl.ds(row, 1), :], (8, LANES))
 
-        more = (sps[0] > 0) | (sps[1] > 0)
+                def fld(f):
+                    return jnp.take_along_axis(row8, child8 + f, axis=1)
+
+                bx0, by0, bz0 = fld(0), fld(1), fld(2)
+                bx1, by1, bz1 = fld(3), fld(4), fld(5)
+                metac = fld(6)
+            nix, niy, niz = ray_comps(inst, 6)
+            noix, noiy, noiz = ray_comps(inst, 9)
+            h_any = None
+            dmin = None
+            for rr in range(rows):
+                # slab planes as FMAs: box*inv - o*inv, with o*inv
+                # hoisted out of the while loop (oix/oiy/oiz) — one VPU
+                # op per plane instead of sub+mul
+                t1 = bx0 * nix[rr:rr + 1, :] - noix[rr:rr + 1, :]
+                t2 = bx1 * nix[rr:rr + 1, :] - noix[rr:rr + 1, :]
+                tn = jnp.minimum(t1, t2)
+                tf = jnp.maximum(t1, t2)
+                t1 = by0 * niy[rr:rr + 1, :] - noiy[rr:rr + 1, :]
+                t2 = by1 * niy[rr:rr + 1, :] - noiy[rr:rr + 1, :]
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                t1 = bz0 * niz[rr:rr + 1, :] - noiz[rr:rr + 1, :]
+                t2 = bz1 * niz[rr:rr + 1, :] - noiz[rr:rr + 1, :]
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+                hit = (tf > 1e-5) & (tn <= tf) \
+                    & (tn <= best_t[rr:rr + 1, :]) & live[rr:rr + 1, :]
+                h = jnp.where(hit, 1, 0)
+                h_any = h if h_any is None else jnp.maximum(h_any, h)
+                d = jnp.where(hit, tn, BIG)
+                dmin = d if dmin is None else jnp.minimum(dmin, d)
+            # packet aggregates per child: any-lane hit, min-over-lanes tn
+            h_red = jnp.max(h_any, axis=1, keepdims=True)      # [8, 1]
+            d_red = jnp.min(dmin, axis=1, keepdims=True)       # [8, 1]
+            # meta == 0 marks an empty child slot (whose inverted bbox
+            # alone does NOT fail the slab test: -inf <= +inf)
+            meta_col = metac[:, 0:1]                           # lane-uniform
+            meta_eff = jnp.where((h_red > 0) & (meta_col != 0.0),
+                                 meta_col, 0.0)
+            d_red = jnp.where(meta_eff != 0.0, d_red, BIG)
+            # sublane->lane: child c's [8,1] packet-aggregate lands at
+            # lane base+c of a [1,128] row (select-by-iota, sum over
+            # sublanes — Mosaic has no shape-cast for this move)
+            sel = lane8 == (sub8 + base)
+            meta_lane = jnp.sum(jnp.where(sel, meta_eff, 0.0),
+                                axis=0, keepdims=True)
+            dist_lane = jnp.sum(jnp.where(sel, d_red, 0.0),
+                                axis=0, keepdims=True)
+            return meta_lane, dist_lane
+
+        def leaf_tests(rows_nl, best_t, insts=None):
+            """All 8 slots of each popped leaf row ([1, 128] arrays) vs
+            every ray row, in the transposed [8 slots, 128] x [1, 128
+            rays] broadcast form, reduced over slots per ray row and
+            reassembled to [rows, 128]. In instanced mode each leaf row
+            carries its own instance (insts, traced scalars): rays come
+            from that instance's pre-transformed slice and the
+            BLAS-local pid gets the instance's global slot base added."""
+            cols = []
+            for li, row in enumerate(rows_nl):
+                row8 = jnp.broadcast_to(row, (8, LANES))
+
+                def g(f, row8=row8):
+                    return jnp.take_along_axis(row8, slot16 + f, axis=1)
+
+                inst = insts[li] if instanced else None
+                crox, croy, croz, crdx, crdy, crdz = ray_comps(inst, 0, 6)
+                cols.append(dict(
+                    v0x=g(0), v0y=g(1), v0z=g(2),
+                    ax=g(3), ay=g(4), az=g(5),
+                    bx=g(6), by=g(7), bz=g(8),
+                    ptype=g(9), r0=g(10), r1=g(11),
+                    pid=g(12), valid=g(13),
+                    rox=crox, roy=croy, roz=croz,
+                    rdx=crdx, rdy=crdy, rdz=crdz,
+                    base=(aux[inst, 13] if instanced else 0.0)))
+            t_rows = []
+            p_rows = []
+            for rr in range(rows):
+                tmin_r = tmin[rr:rr + 1, :]
+                bt_r = best_t[rr:rr + 1, :]
+                live_r = live[rr:rr + 1, :]
+                tm_best = None
+                pm_best = None
+                for cc in cols:
+                    ro_x = cc["rox"][rr:rr + 1, :]
+                    ro_y = cc["roy"][rr:rr + 1, :]
+                    ro_z = cc["roz"][rr:rr + 1, :]
+                    rd_x = cc["rdx"][rr:rr + 1, :]
+                    rd_y = cc["rdy"][rr:rr + 1, :]
+                    rd_z = cc["rdz"][rr:rr + 1, :]
+                    ok = None
+                    t = None
+                    if has_tri:
+                        # Moller-Trumbore (mesh.h:45-67); every product is
+                        # a [8,1] x [1,128] rank-1 broadcast
+                        s1x = cc["bz"] * rd_y - cc["by"] * rd_z
+                        s1y = cc["bx"] * rd_z - cc["bz"] * rd_x
+                        s1z = cc["by"] * rd_x - cc["bx"] * rd_y
+                        div = s1x * cc["ax"] + s1y * cc["ay"] \
+                            + s1z * cc["az"]
+                        okt = jnp.abs(div) >= 1e-8
+                        inv = 1.0 / jnp.where(okt, div, 1.0)
+                        sx = ro_x - cc["v0x"]
+                        sy = ro_y - cc["v0y"]
+                        sz = ro_z - cc["v0z"]
+                        b1 = (sx * s1x + sy * s1y + sz * s1z) * inv
+                        s2x = sy * cc["az"] - sz * cc["ay"]
+                        s2y = sz * cc["ax"] - sx * cc["az"]
+                        s2z = sx * cc["ay"] - sy * cc["ax"]
+                        b2 = (rd_x * s2x + rd_y * s2y + rd_z * s2z) * inv
+                        tt = (cc["bx"] * s2x + cc["by"] * s2y
+                              + cc["bz"] * s2z) * inv
+                        okt &= (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) \
+                            & (b1 + b2 <= 1.0) & (tt >= tmin_r) \
+                            & (tt <= bt_r)
+                        okt &= cc["ptype"] == 0.0
+                        ok, t = okt, tt
+                    if has_sph:
+                        # sphere quadratic (sphere.h:26-94)
+                        opx = ro_x - cc["v0x"]
+                        opy = ro_y - cc["v0y"]
+                        opz = ro_z - cc["v0z"]
+                        bq = opx * rd_x + opy * rd_y + opz * rd_z
+                        cq = opx * opx + opy * opy + opz * opz \
+                            - cc["r0"] * cc["r0"]
+                        delta = bq * bq - cq
+                        oks = delta >= 0.0
+                        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+                        tq1 = -bq - sq
+                        tq2 = -bq + sq
+                        use1 = tq1 > tmin_r
+                        ts = jnp.where(use1, tq1, tq2)
+                        oks &= (ts > 0.0) & (ts <= bt_r)
+                        oks &= use1 | (tq1 > 0.0) | (tq2 > tmin_r)
+                        oks &= cc["ptype"] == 2.0
+                        ok = oks if ok is None else ok | oks
+                        t = ts if t is None else jnp.where(oks, ts, t)
+                    if has_lin:
+                        # ray/segment closest approach (line.h:33-87)
+                        vx = cc["ax"] - cc["v0x"]
+                        vy = cc["ay"] - cc["v0y"]
+                        vz = cc["az"] - cc["v0z"]
+                        wx = ro_x - cc["v0x"]
+                        wy = ro_y - cc["v0y"]
+                        wz = ro_z - cc["v0z"]
+                        aa = rd_x * rd_x + rd_y * rd_y + rd_z * rd_z
+                        bb = rd_x * vx + rd_y * vy + rd_z * vz
+                        ccd = vx * vx + vy * vy + vz * vz
+                        dd = rd_x * wx + rd_y * wy + rd_z * wz
+                        ee = vx * wx + vy * wy + vz * wz
+                        det = aa * ccd - bb * bb
+                        okl = det != 0.0
+                        det_s = jnp.where(okl, det, 1.0)
+                        tl = (bb * ee - ccd * dd) / det_s
+                        sl2 = jnp.clip((aa * ee - bb * dd) / det_s,
+                                       0.0, 1.0)
+                        okl &= (tl >= tmin_r) & (tl <= bt_r)
+                        prx = wx + rd_x * tl - vx * sl2
+                        pry = wy + rd_y * tl - vy * sl2
+                        prz = wz + rd_z * tl - vz * sl2
+                        d2 = prx * prx + pry * pry + prz * prz
+                        rrad = cc["r0"] * (1.0 - sl2) + cc["r1"] * sl2
+                        okl &= d2 <= rrad * rrad
+                        okl &= cc["ptype"] == 1.0
+                        ok = okl if ok is None else ok | okl
+                        t = tl if t is None else jnp.where(okl, tl, t)
+                    ok &= (cc["valid"] != 0.0) & live_r
+                    tm = jnp.where(ok, t, jnp.inf)            # [8, 128]
+                    t_min = jnp.min(tm, axis=0, keepdims=True)
+                    pm = jnp.max(jnp.where(tm == t_min, cc["pid"], -1.0),
+                                 axis=0, keepdims=True)
+                    # instanced: BLAS-local pid + instance slot base
+                    # = GLOBAL
+                    pm = jnp.where(t_min < jnp.inf, pm + cc["base"], -1.0)
+                    if tm_best is None:
+                        tm_best, pm_best = t_min, pm
+                    else:
+                        take = t_min < tm_best
+                        tm_best = jnp.where(take, t_min, tm_best)
+                        pm_best = jnp.where(take, pm, pm_best)
+                t_rows.append(tm_best)
+                p_rows.append(pm_best)
+            return (jnp.concatenate(t_rows, axis=0),
+                    jnp.concatenate(p_rows, axis=0))
+
+        def start_leaf_copies(ls):
+            for i, li in enumerate(ls):
+                pltpu.make_async_copy(tab_hbm.at[pl.ds(li, 1)],
+                                      lbuf.at[pl.ds(i, 1)],
+                                      lsems[i]).start()
+
+        def wait_leaf_copies():
+            for i in range(nl):
+                pltpu.make_async_copy(tab_hbm.at[pl.ds(0, 1)],
+                                      lbuf.at[pl.ds(i, 1)],
+                                      lsems[i]).wait()
+
+        def cond(state):
+            return state[0]
+
+        def body(state):
+            _, best_t, best_p = state
+            # test the leaf rows fetched for this iteration: VMEM reads
+            # in RESIDENT mode, last iteration's DMA buffer in STREAMED
+            # mode (one-iteration software pipeline hides the HBM
+            # latency behind this iteration's node tests; the first wait
+            # consumes the dummy-row priming copies)
+            if streamed:
+                wait_leaf_copies()
+                rows_nl = tuple(lbuf[i:i + 1, :] for i in range(nl))
+            # pop up to nn nodes and nl leaves (DUMMY when short).
+            # Instanced entries decode as (row, inst) = (e // S, e % S);
+            # the dummy entry rides instance 0 (identity).
+            dummy_e = dummy * S if instanced else dummy
+            ldummy_e = ldummy * S if instanced else ldummy
+            sn = sps[0]
+            nes = [jnp.where(sn > i, nstack[jnp.maximum(sn - 1 - i, 0)],
+                             dummy_e) for i in range(nn)]
+            sps[0] = jnp.maximum(sn - nn, 0)
+            sl = sps[1]
+            les = [jnp.where(sl > i, lstack[jnp.maximum(sl - 1 - i, 0)],
+                             ldummy_e) for i in range(nl)]
+            sps[1] = jnp.maximum(sl - nl, 0)
+            if instanced:
+                # S = 2048: decode via shift/mask (scalar int div/mod
+                # lowers poorly in Mosaic)
+                nps = [jax.lax.shift_right_logical(e, 11) for e in nes]
+                nis = [jax.lax.bitwise_and(e, S - 1) for e in nes]
+                lps = [jax.lax.shift_right_logical(e, 11) for e in les]
+                lis = [jax.lax.bitwise_and(e, S - 1) for e in les]
+            else:
+                nps, nis = nes, [None] * nn
+                lps, lis = les, None
+            if streamed:
+                start_leaf_copies(lps)
+            else:
+                rows_nl = tuple(tab[pl.ds(li, 1), :] for li in lps)
+
+            node_md = [node_tests(nps[i], 8 * i, best_t, nis[i])
+                       for i in range(nn)]
+            t_cand, p_cand = leaf_tests(rows_nl, best_t, lis)
+            upd = t_cand < jnp.inf   # ok already implies t <= entry best_t
+            best_t = jnp.where(upd, t_cand, best_t)
+            best_p = jnp.where(upd, p_cand, best_p)
+
+            # NEAR-FIRST ordering of this iteration's <=ncand pushes
+            # (measured on the dragon BVH8: 857 -> 186 iters/packet on
+            # incoherent rays, tools/sim_walk.py): rank the candidates by
+            # packet-min entry distance, then push far-to-near so the
+            # nearest node pops first and tightens best_t before the rest
+            # are popped. All vector-side: rank_c = #{j : (dist_j, j) <
+            # (dist_c, c)} is an [ncand,128] compare + sublane sum; the
+            # permuted metas are a one-hot lane sum scattered to sublane
+            # rank_c.
+            meta_lane = node_md[0][0]            # disjoint lanes per node
+            dist_lane = node_md[0][1]
+            for md, dd in node_md[1:]:
+                meta_lane = meta_lane + md
+                dist_lane = dist_lane + dd
+            if slot_order:
+                # A/B reference policy: child-slot order (the pre-ordering
+                # kernel's behavior — last child popped first)
+                rank = (ncand - 1) - laneC[0:1, :]
+            else:
+                dC = jnp.take_along_axis(
+                    jnp.broadcast_to(dist_lane, (ncand, LANES)), subC,
+                    axis=1)
+                lt = (dC < dist_lane) \
+                    | ((dC == dist_lane) & (subC < laneC))
+                rank = jnp.sum(jnp.where(lt, 1, 0), axis=0, keepdims=True)
+            oh = (jnp.broadcast_to(rank, (ncand, LANES)) == subC) \
+                & (laneC < ncand)
+            perm = jnp.sum(
+                jnp.where(oh, jnp.broadcast_to(meta_lane, (ncand, LANES)),
+                          0.0),
+                axis=1, keepdims=True)           # sublane r = meta @ rank r
+            mscr[...] = jnp.broadcast_to(perm, (ncand, LANES))
+
+            # branch-free pushes: ALWAYS store at the stack top, advance
+            # the pointer only when the candidate is real (meta != 0 folds
+            # the hit flag in) — a `pl.when` per child measured ~100 ns of
+            # branch overhead each; stale writes above sp are never read.
+            # The farthest rank (or dummy) pushes first, rank 0 lands on
+            # top.
+            sn = jnp.minimum(sps[0], NSTACK - 1)
+            sl = jnp.minimum(sps[1], LSTACK - 1)
+            if instanced:
+                is_tlas = [nps[i] < tlas_rows for i in range(nn)]
+            for r in range(ncand - 1, -1, -1):
+                meta = mscr[r, 0].astype(jnp.int32)
+                if instanced:
+                    # TLAS rows have no leaf children: negative meta there
+                    # is an INSTANCE entry -(i+1) -> push (blas root of i,
+                    # i); positive meta is a TLAS subrow (rides instance
+                    # 0, which TLAS pops always carry). BLAS rows keep the
+                    # flat conventions with the popped row's instance
+                    # inherited.
+                    it = is_tlas[r // 8]
+                    inst_s = nis[r // 8]
+                    im = jnp.maximum(-meta - 1, 0)
+                    root = aux[im, 12].astype(jnp.int32)
+                    ne = jnp.where(it & (meta < 0), root * S + im,
+                                   meta * S + inst_s)
+                    push_n = jnp.where(it, meta != 0, meta > 0)
+                    le = (-meta) * S + inst_s
+                    push_l = (~it) & (meta < 0)
+                else:
+                    ne, le = meta, -meta
+                    push_n, push_l = meta > 0, meta < 0
+                nstack[sn] = ne
+                sn = jnp.minimum(sn + jnp.where(push_n, 1, 0), NSTACK - 1)
+                lstack[sl] = le
+                sl = jnp.minimum(sl + jnp.where(push_l, 1, 0), LSTACK - 1)
+            sps[0] = sn
+            sps[1] = sl
+
+            more = (sps[0] > 0) | (sps[1] > 0)
+            if streamed:
+                # the leaf rows now in flight still need their test
+                for li in lps:
+                    more |= li != ldummy
+            if any_hit:
+                # one vector->scalar sync: any live lane still unhit?
+                more &= jnp.max(jnp.where((best_p < 0.0) & live, 1, 0)) > 0
+            return more, best_t, best_p
+
         if streamed:
-            # the leaf rows now in flight still need their test
-            for li in lps:
-                more |= li != ldummy
-        if any_hit:
-            # one vector->scalar sync: any live lane still unhit?
-            more &= jnp.max(jnp.where((best_p < 0.0) & live, 1, 0)) > 0
-        return more, best_t, best_p
+            # prime the pipeline with dummy-row copies so the first body
+            # iteration's wait/test pair is uniform
+            start_leaf_copies([ldummy] * nl)
+        state = (jnp.bool_(True), tmax,
+                 jnp.full(rox.shape, -1.0, jnp.float32))
+        _, best_t, best_p = jax.lax.while_loop(cond, body, state)
+        if streamed:
+            # drain the copies started by the final iteration so the DMA
+            # semaphores are balanced before the next grid step
+            wait_leaf_copies()
+        t_out[sl_, :] = best_t
+        p_out[sl_, :] = best_p
 
-    if streamed:
-        # prime the pipeline with dummy-row copies so the first body
-        # iteration's wait/test pair is uniform
-        start_leaf_copies([ldummy] * nl)
-    state = (jnp.bool_(True), tmax,
-             jnp.full(rox.shape, -1.0, jnp.float32))
-    _, best_t, best_p = jax.lax.while_loop(cond, body, state)
-    if streamed:
-        # drain the copies started by the final iteration so the DMA
-        # semaphores are balanced before the next grid step
-        wait_leaf_copies()
-    t_out[...] = best_t
-    p_out[...] = best_p
+    for sp in range(subpk):
+        walk_sub(sp)
 
 
 @functools.partial(
@@ -588,7 +620,12 @@ def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
         "instanced walk is resident-only"
     n = ro.shape[0]
     rows = packet_w // LANES
-    n_pad = (n + packet_w - 1) // packet_w * packet_w
+    assert rows >= 1 and (rows % BLOCK_ROWS == 0
+                          or BLOCK_ROWS % rows == 0), packet_w
+    block_rows = max(rows, BLOCK_ROWS)
+    subpk = block_rows // rows
+    blk = block_rows * LANES
+    n_pad = (n + blk - 1) // blk * blk
 
     def prep(a):
         return jnp.pad(a, (0, n_pad - n)).reshape(-1, LANES)
@@ -597,11 +634,11 @@ def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
              prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
              prep(jnp.broadcast_to(tmin, (n,))),
              prep(jnp.broadcast_to(tmax, (n,)))]
-    g = n_pad // packet_w
+    g = n_pad // blk
 
-    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
@@ -638,7 +675,7 @@ def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
     kernel = functools.partial(
         _walk_kernel, has_tri=has_tri, has_sph=has_sph, has_lin=has_lin,
         any_hit=any_hit, n8=n8, slot_order=slot_order, rows=rows,
-        nn=nn, nl=nl, n_inst=n_inst, tlas_rows=tlas_rows)
+        subpk=subpk, nn=nn, nl=nl, n_inst=n_inst, tlas_rows=tlas_rows)
     t, p = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -676,7 +713,8 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
     slot_order=True selects the unordered push policy (A/B baseline for
     tools/bench_walkcost.py); the default near-first ordering is always
     better or equal (tools/sim_walk.py). nn/nl select the per-iteration
-    pop widths (default leaf-priority 1+2, tools/sim_walk_stats.py)."""
+    pop widths; packet_w the rays per walk (sub-packets of an 8-row
+    block below 1024 — tools/sim_walk_stats.py)."""
     n = ro.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)

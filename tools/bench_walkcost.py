@@ -30,8 +30,9 @@ from gpu_pathtracer_tpu.geom import packet_tpu
 
 def main():
     size = 512
-    host = load_scene(os.path.join(os.path.dirname(__file__), "..",
-                                   "scenes", "dragon", "scene.json"))
+    scene_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(__file__), "..", "scenes", "dragon", "scene.json")
+    host = load_scene(scene_path)
     host.width = host.height = size
     dev, static = flatten_scene(host)
     n = size * size
@@ -76,10 +77,13 @@ def main():
 
     # configs: (label, slot_order, nn, nl, packet_w)
     CONFIGS = [
-        ("near 2+2 W1024", False, 2, 2, 1024),   # round-2 shipped kernel
-        ("near 1+2 W1024", False, 1, 2, 1024),
+        ("near 1+2 W1024", False, 1, 2, 1024),   # shipped kernel
+        ("near 2+2 W1024", False, 2, 2, 1024),
+        ("near 2+3 W1024", False, 2, 3, 1024),
         ("near 1+2 W512", False, 1, 2, 512),
-        ("near 1+3 W512", False, 1, 3, 512),
+        ("near 2+2 W512", False, 2, 2, 512),
+        ("near 2+3 W512", False, 2, 3, 512),     # sim best (new dragon)
+        ("near 2+3 W256", False, 2, 3, 256),
     ]
 
     @functools.partial(jax.jit,
@@ -87,7 +91,7 @@ def main():
     def walk(ro_, rd_, slot=False, nn=2, nl=2, pw=1024):
         t, pr, _ = packet_tpu.packet_traverse(
             dev, static, ro_, rd_, 1e-3, jnp.inf, any_hit=False,
-            slot_order=slot, nn=nn, nl=nl)
+            slot_order=slot, nn=nn, nl=nl, packet_w=pw)
         return t, pr
 
     # compile + warm every config; verify agreement vs the baseline
@@ -95,7 +99,7 @@ def main():
     for k, (a, b) in args.items():
         ref = None
         for lbl, s, nn, nl, pw in CONFIGS:
-            os.environ["PTPU_PACKET_W"] = str(pw)
+            
             out = jax.block_until_ready(walk(a, b, slot=s, nn=nn, nl=nl,
                                              pw=pw))
             if ref is None:

@@ -131,13 +131,15 @@ def main():
                             (np.arange(n) // 512).astype(np.int64)))
     pro, prd = ro[pm], rd[pm]
 
+    import itertools
+    cfgs = [(W, nn, nl) for W in (128, 256, 512, 1024)
+            for nn, nl in ((1, 1), (1, 2), (2, 2), (3, 2), (2, 3), (3, 3),
+                           (4, 4))]
     for label, (a, b) in (("primary morton2d", (pro, prd)),
                           ("bounce sortkey", (bro, brd))):
         print(f"== {label}")
-        run_set(tree, a, b, label, W=1024, nn=2, nl=2)   # shipped kernel
-        for W in (512, 1024, 2048):
-            for nn, nl in ((1, 2), (1, 3), (1, 4), (2, 3)):
-                run_set(tree, a, b, label, W=W, nn=nn, nl=nl)
+        for W, nn, nl in cfgs:
+            run_set(tree, a, b, label, W=W, nn=nn, nl=nl)
 
 
 if __name__ == "__main__":
