@@ -66,11 +66,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-PACKET_W = int(os.environ.get("PTPU_PACKET_W", "1024"))
+# Shipped walk config (overridable by env for A/B harnesses). Chosen by
+# the TPU sweep in tools/bench_walkcost.py on the dragon (2026-08-19):
+# measured cost/iteration is ~1.3-1.5 us for EVERY (packet_w, nn, nl)
+# tried — the iteration is sync/scalar-bound, not VPU-bound — so the
+# config that minimizes TOTAL iterations wins. W256 with 4+4 pops cut
+# incoherent bounce-ray walks 1.59x vs W1024 1+2 (106.7 -> 67.3 ms at
+# 262k rays) while costing primaries only ~16%; with depth-5 frames
+# dominated by bounce walks the narrow-wide config wins end-to-end.
+PACKET_W = int(os.environ.get("PTPU_PACKET_W", "256"))
                         # rays per packet; < 1024 runs sub-packets of an
                         # 8-row block (Mosaic block-shape rule)
-NN = int(os.environ.get("PTPU_NN", "1"))   # node rows popped / iteration
-NL = int(os.environ.get("PTPU_NL", "2"))   # leaf rows popped / iteration
+NN = int(os.environ.get("PTPU_NN", "4"))   # node rows popped / iteration
+NL = int(os.environ.get("PTPU_NL", "4"))   # leaf rows popped / iteration
 NSTACK = 512            # node stack: bounded by bvh8 depth * 14 + 16
 LSTACK = 4096           # leaf backlog: pushes <= 16/iter, drains 2/iter
 RESIDENT_MAX_ROWS = 24576   # 12 MB of VMEM for the resident table
@@ -706,15 +714,21 @@ def supports(scene, static) -> bool:
 
 def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
                     interpret: bool = False, force_streamed: bool = False,
-                    slot_order: bool = False, nn: int = NN, nl: int = NL,
-                    packet_w: int = PACKET_W):
+                    slot_order: bool = False, nn: int | None = None,
+                    nl: int | None = None, packet_w: int | None = None):
     """Drop-in for geom.packet.packet_traverse on the TPU backend.
 
     slot_order=True selects the unordered push policy (A/B baseline for
     tools/bench_walkcost.py); the default near-first ordering is always
     better or equal (tools/sim_walk.py). nn/nl select the per-iteration
     pop widths; packet_w the rays per walk (sub-packets of an 8-row
-    block below 1024 — tools/sim_walk_stats.py)."""
+    block below 1024 — tools/sim_walk_stats.py). None reads the module
+    config at TRACE time (not import time) so harnesses can retrace
+    both configs in one process (interleaved timing is the only
+    trustworthy comparison on the shared chip)."""
+    nn = NN if nn is None else nn
+    nl = NL if nl is None else nl
+    packet_w = PACKET_W if packet_w is None else packet_w
     n = ro.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)

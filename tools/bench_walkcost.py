@@ -64,26 +64,26 @@ def main():
     p = np.argsort(skey(rro, rrd), kind="stable")
 
     cases = {
-        "single-ray x262k": (np.broadcast_to(ro[1000], (n, 3)).copy(),
-                             np.broadcast_to(rd[1000], (n, 3)).copy()),
         "primary raster": (ro, rd),
         "primary sortkey": (ro[np.argsort(skey(ro, rd), kind="stable")],
                             rd[np.argsort(skey(ro, rd), kind="stable")]),
-        "random": (rro, rrd),
         "random sortkey": (rro[p], rrd[p]),
     }
 
     import functools
 
     # configs: (label, slot_order, nn, nl, packet_w)
+    # sim sweep (tools/sim_walk_stats.py, dragon bounce rays, cyc/ray):
+    # W1024(1,2) 316 | W512(2,3) 190 | W256(4,4) 118 | W128(3,3) 112 |
+    # W128(4,4) 101 — narrow packets + wide pops win on paper; this
+    # fits the real per-iteration cost.
     CONFIGS = [
         ("near 1+2 W1024", False, 1, 2, 1024),   # shipped kernel
-        ("near 2+2 W1024", False, 2, 2, 1024),
-        ("near 2+3 W1024", False, 2, 3, 1024),
-        ("near 1+2 W512", False, 1, 2, 512),
-        ("near 2+2 W512", False, 2, 2, 512),
-        ("near 2+3 W512", False, 2, 3, 512),     # sim best (new dragon)
-        ("near 2+3 W256", False, 2, 3, 256),
+        ("near 2+3 W512", False, 2, 3, 512),
+        ("near 3+3 W256", False, 3, 3, 256),
+        ("near 4+4 W256", False, 4, 4, 256),
+        ("near 3+3 W128", False, 3, 3, 128),
+        ("near 4+4 W128", False, 4, 4, 128),
     ]
 
     @functools.partial(jax.jit,
