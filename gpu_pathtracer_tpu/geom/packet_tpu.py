@@ -66,19 +66,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# Shipped walk config (overridable by env for A/B harnesses). Chosen by
-# the TPU sweep in tools/bench_walkcost.py on the dragon (2026-08-19):
-# measured cost/iteration is ~1.3-1.5 us for EVERY (packet_w, nn, nl)
-# tried — the iteration is sync/scalar-bound, not VPU-bound — so the
-# config that minimizes TOTAL iterations wins. W256 with 4+4 pops cut
-# incoherent bounce-ray walks 1.59x vs W1024 1+2 (106.7 -> 67.3 ms at
-# 262k rays) while costing primaries only ~16%; with depth-5 frames
-# dominated by bounce walks the narrow-wide config wins end-to-end.
+# Shipped walk config (overridable by env for A/B harnesses). TPU sweep
+# history (tools/bench_walkcost.py, dragon, 262k rays, same-process
+# interleaved min-of-reps):
+# - W256 4+4 is the shipped default: 67 ms on sorted incoherent bounce
+#   rays, 1.35-1.59x over W1024 1+2 across sessions; primaries pay ~16%
+#   (W1024 1+2 is their best: 33-40 ms) but depth-5 frames are
+#   bounce-dominated.
+# - WIDER pops (6+6, 8+8) and narrower packets (W128) LOSE: the
+#   iteration is instruction-THROUGHPUT-bound at 4+4, not latency-bound.
+#   Audit: ~600 vreg-ops + ~84 lane-gathers (take_along_axis decode of
+#   node/leaf fields) per iteration ~= 1.2-1.4 us at 940 MHz, matching
+#   the measured 67 ms / (1024 packets x 44.3 sim iters) = 1.48 us/iter.
+# - FUSE (below) measured NEUTRAL (F2/F4 within noise of F1 on every ray
+#   set, 2026-08-19): the VLIW scheduler gains nothing from extra
+#   independent chains because the issue slots are already full. Kept as
+#   an A/B knob; default 1.
 PACKET_W = int(os.environ.get("PTPU_PACKET_W", "256"))
                         # rays per packet; < 1024 runs sub-packets of an
                         # 8-row block (Mosaic block-shape rule)
 NN = int(os.environ.get("PTPU_NN", "4"))   # node rows popped / iteration
 NL = int(os.environ.get("PTPU_NL", "4"))   # leaf rows popped / iteration
+FUSE = int(os.environ.get("PTPU_FUSE", "1"))  # sub-packets walked per
+                        # while_loop (independent stacks/states whose
+                        # scalar/vector chains interleave in the VLIW
+                        # slots; measured neutral — see above)
 NSTACK = 512            # node stack: bounded by bvh8 depth * 14 + 16
 LSTACK = 4096           # leaf backlog: pushes <= 16/iter, drains 2/iter
 RESIDENT_MAX_ROWS = 24576   # 12 MB of VMEM for the resident table
@@ -95,7 +107,7 @@ def _safe_inv(d):
 
 def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                  slot_order=False, rows=8, subpk=1, nn=1, nl=2, n_inst=0,
-                 tlas_rows=0):
+                 tlas_rows=0, fuse=1):
     """Dual-stack, branch-free packet walk.
 
     Every while iteration UNCONDITIONALLY processes `nn` node rows and
@@ -180,20 +192,25 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
     bdx, bdy, bdz = dx[...], dy[...], dz[...]
     btmin, btmax = tmn[...], tmx[...]
 
-    def walk_sub(sp):
-        """Walk one `rows`-row sub-packet (block rows [sp*rows, +rows))."""
+    def make_ctx(sp, j):
+        """Per-sub-packet traversal context: ray components of block rows
+        [sp*rows, +rows), with o*inv hoisted (slab planes become FMAs).
+        `j` is the position within the fused group (selects the stack
+        segment and the xray slice)."""
         sl_ = slice(sp * rows, (sp + 1) * rows)
         rox, roy, roz = bx[sl_], by[sl_], bz[sl_]
         rdx, rdy, rdz = bdx[sl_], bdy[sl_], bdz[sl_]
-        tmin = btmin[sl_]
-        tmax = btmax[sl_]
         ix = _safe_inv(rdx)
         iy = _safe_inv(rdy)
         iz = _safe_inv(rdz)
-        oix = rox * ix          # hoisted o*inv: slab planes become FMAs
-        oiy = roy * iy
-        oiz = roz * iz
-        live = tmax > 0.0       # padded lanes carry tmax <= 0
+        tmax = btmax[sl_]
+        ctx = dict(
+            sl=sl_, j=j,
+            direct=(rox, roy, roz, rdx, rdy, rdz, ix, iy, iz,
+                    rox * ix, roy * iy, roz * iz),
+            tmin=btmin[sl_], tmax=tmax,
+            live=tmax > 0.0,    # padded lanes carry tmax <= 0
+        )
 
         if instanced:
             # pre-transform the sub-packet into every instance frame ONCE
@@ -214,25 +231,32 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                 tiz = _safe_inv(tdz)
                 comps = (tox, toy, toz, tdx, tdy, tdz, tix, tiy, tiz,
                          tox * tix, toy * tiy, toz * tiz)
+                base = j * n_inst * 12 * rows
                 for c, v in enumerate(comps):
-                    xray[pl.ds(i * 12 * rows + c * rows, rows), :] = v
+                    xray[pl.ds(base + i * 12 * rows + c * rows, rows),
+                         :] = v
+        return ctx
 
-        def ray_comps(inst, c0, k=3):
-            """k consecutive ray components [rows, 128] of instance
-            `inst` (traced scalar), starting at comp id c0."""
-            if not instanced:
-                direct = (rox, roy, roz, rdx, rdy, rdz, ix, iy, iz,
-                          oix, oiy, oiz)
-                return direct[c0:c0 + k]
-            off = inst * (12 * rows)
-            return tuple(xray[pl.ds(off + (c0 + j) * rows, rows), :]
-                         for j in range(k))
+    def ray_comps(ctx, inst, c0, k=3):
+        """k consecutive ray components [rows, 128] of instance
+        `inst` (traced scalar), starting at comp id c0."""
+        if not instanced:
+            return ctx["direct"][c0:c0 + k]
+        off = ctx["j"] * n_inst * 12 * rows + inst * (12 * rows)
+        return tuple(xray[pl.ds(off + (c0 + jj) * rows, rows), :]
+                     for jj in range(k))
 
-        sps[0] = 1              # node stack: root row 0 pre-pushed
-        sps[1] = 0              # leaf stack
-        nstack[0] = 0
+    def walk_group(g):
+        """Walk `fuse` sub-packets (block rows [g*fuse*rows, +fuse*rows))
+        in ONE while loop. Each sub-packet keeps its own stacks, best_t
+        and pop/push phases; the phases of different sub-packets have no
+        data dependencies, so the VLIW scheduler can pack one packet's
+        scalar push/pop chain with another's vector row tests — the
+        round-trip (pop -> row test -> rank -> push) latency that bounds
+        the single-packet walk amortizes across the group."""
+        ctxs = [make_ctx(g * fuse + jj, jj) for jj in range(fuse)]
 
-        def node_tests(row, base, best_t, inst=None):
+        def node_tests(ctx, row, base, best_t, inst=None):
             """8 child slab tests of one node row: every term is an
             [8 children, 128] x [1, 128] broadcast against a ray ROW — a
             scalar-load + scalar->vector broadcast per field measured
@@ -276,8 +300,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                 bx0, by0, bz0 = fld(0), fld(1), fld(2)
                 bx1, by1, bz1 = fld(3), fld(4), fld(5)
                 metac = fld(6)
-            nix, niy, niz = ray_comps(inst, 6)
-            noix, noiy, noiz = ray_comps(inst, 9)
+            nix, niy, niz = ray_comps(ctx, inst, 6)
+            noix, noiy, noiz = ray_comps(ctx, inst, 9)
             h_any = None
             dmin = None
             for rr in range(rows):
@@ -297,7 +321,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                 tn = jnp.maximum(tn, jnp.minimum(t1, t2))
                 tf = jnp.minimum(tf, jnp.maximum(t1, t2))
                 hit = (tf > 1e-5) & (tn <= tf) \
-                    & (tn <= best_t[rr:rr + 1, :]) & live[rr:rr + 1, :]
+                    & (tn <= best_t[rr:rr + 1, :]) \
+                    & ctx["live"][rr:rr + 1, :]
                 h = jnp.where(hit, 1, 0)
                 h_any = h if h_any is None else jnp.maximum(h_any, h)
                 d = jnp.where(hit, tn, BIG)
@@ -321,7 +346,7 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                                 axis=0, keepdims=True)
             return meta_lane, dist_lane
 
-        def leaf_tests(rows_nl, best_t, insts=None):
+        def leaf_tests(ctx, rows_nl, best_t, insts=None):
             """All 8 slots of each popped leaf row ([1, 128] arrays) vs
             every ray row, in the transposed [8 slots, 128] x [1, 128
             rays] broadcast form, reduced over slots per ray row and
@@ -329,6 +354,13 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
             carries its own instance (insts, traced scalars): rays come
             from that instance's pre-transformed slice and the
             BLAS-local pid gets the instance's global slot base added."""
+            # the field decode is ~14 lane-gathers per leaf row — a big
+            # slice of the iteration's instruction budget (header audit).
+            # Single-primitive-type scenes skip the type discriminator
+            # and the fields their test never reads (tri: -3 gathers).
+            multi = (int(has_tri) + int(has_sph) + int(has_lin)) > 1
+            need_ab = has_tri or has_lin
+            need_r = has_sph or has_lin
             cols = []
             for li, row in enumerate(rows_nl):
                 row8 = jnp.broadcast_to(row, (8, LANES))
@@ -337,12 +369,19 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                     return jnp.take_along_axis(row8, slot16 + f, axis=1)
 
                 inst = insts[li] if instanced else None
-                crox, croy, croz, crdx, crdy, crdz = ray_comps(inst, 0, 6)
+                crox, croy, croz, crdx, crdy, crdz = ray_comps(ctx, inst,
+                                                               0, 6)
                 cols.append(dict(
                     v0x=g(0), v0y=g(1), v0z=g(2),
-                    ax=g(3), ay=g(4), az=g(5),
-                    bx=g(6), by=g(7), bz=g(8),
-                    ptype=g(9), r0=g(10), r1=g(11),
+                    ax=g(3) if need_ab else None,
+                    ay=g(4) if need_ab else None,
+                    az=g(5) if need_ab else None,
+                    bx=g(6) if has_tri else None,
+                    by=g(7) if has_tri else None,
+                    bz=g(8) if has_tri else None,
+                    ptype=g(9) if multi else None,
+                    r0=g(10) if need_r else None,
+                    r1=g(11) if has_lin else None,
                     pid=g(12), valid=g(13),
                     rox=crox, roy=croy, roz=croz,
                     rdx=crdx, rdy=crdy, rdz=crdz,
@@ -350,9 +389,9 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
             t_rows = []
             p_rows = []
             for rr in range(rows):
-                tmin_r = tmin[rr:rr + 1, :]
+                tmin_r = ctx["tmin"][rr:rr + 1, :]
                 bt_r = best_t[rr:rr + 1, :]
-                live_r = live[rr:rr + 1, :]
+                live_r = ctx["live"][rr:rr + 1, :]
                 tm_best = None
                 pm_best = None
                 for cc in cols:
@@ -387,7 +426,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                         okt &= (b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) \
                             & (b1 + b2 <= 1.0) & (tt >= tmin_r) \
                             & (tt <= bt_r)
-                        okt &= cc["ptype"] == 0.0
+                        if multi:
+                            okt &= cc["ptype"] == 0.0
                         ok, t = okt, tt
                     if has_sph:
                         # sphere quadratic (sphere.h:26-94)
@@ -406,7 +446,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                         ts = jnp.where(use1, tq1, tq2)
                         oks &= (ts > 0.0) & (ts <= bt_r)
                         oks &= use1 | (tq1 > 0.0) | (tq2 > tmin_r)
-                        oks &= cc["ptype"] == 2.0
+                        if multi:
+                            oks &= cc["ptype"] == 2.0
                         ok = oks if ok is None else ok | oks
                         t = ts if t is None else jnp.where(oks, ts, t)
                     if has_lin:
@@ -435,7 +476,8 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                         d2 = prx * prx + pry * pry + prz * prz
                         rrad = cc["r0"] * (1.0 - sl2) + cc["r1"] * sl2
                         okl &= d2 <= rrad * rrad
-                        okl &= cc["ptype"] == 1.0
+                        if multi:
+                            okl &= cc["ptype"] == 1.0
                         ok = okl if ok is None else ok | okl
                         t = tl if t is None else jnp.where(okl, tl, t)
                     ok &= (cc["valid"] != 0.0) & live_r
@@ -473,50 +515,54 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
             return state[0]
 
         def body(state):
-            _, best_t, best_p = state
-            # test the leaf rows fetched for this iteration: VMEM reads
-            # in RESIDENT mode, last iteration's DMA buffer in STREAMED
-            # mode (one-iteration software pipeline hides the HBM
-            # latency behind this iteration's node tests; the first wait
-            # consumes the dummy-row priming copies)
-            if streamed:
-                wait_leaf_copies()
-                rows_nl = tuple(lbuf[i:i + 1, :] for i in range(nl))
-            # pop up to nn nodes and nl leaves (DUMMY when short).
+            bts = list(state[1:1 + fuse])
+            bps = list(state[1 + fuse:])
             # Instanced entries decode as (row, inst) = (e // S, e % S);
             # the dummy entry rides instance 0 (identity).
             dummy_e = dummy * S if instanced else dummy
             ldummy_e = ldummy * S if instanced else ldummy
-            sn = sps[0]
-            nes = [jnp.where(sn > i, nstack[jnp.maximum(sn - 1 - i, 0)],
-                             dummy_e) for i in range(nn)]
-            sps[0] = jnp.maximum(sn - nn, 0)
-            sl = sps[1]
-            les = [jnp.where(sl > i, lstack[jnp.maximum(sl - 1 - i, 0)],
-                             ldummy_e) for i in range(nl)]
-            sps[1] = jnp.maximum(sl - nl, 0)
-            if instanced:
-                # S = 2048: decode via shift/mask (scalar int div/mod
-                # lowers poorly in Mosaic)
-                nps = [jax.lax.shift_right_logical(e, 11) for e in nes]
-                nis = [jax.lax.bitwise_and(e, S - 1) for e in nes]
-                lps = [jax.lax.shift_right_logical(e, 11) for e in les]
-                lis = [jax.lax.bitwise_and(e, S - 1) for e in les]
-            else:
-                nps, nis = nes, [None] * nn
-                lps, lis = les, None
-            if streamed:
-                start_leaf_copies(lps)
-            else:
-                rows_nl = tuple(tab[pl.ds(li, 1), :] for li in lps)
 
-            node_md = [node_tests(nps[i], 8 * i, best_t, nis[i])
-                       for i in range(nn)]
-            t_cand, p_cand = leaf_tests(rows_nl, best_t, lis)
-            upd = t_cand < jnp.inf   # ok already implies t <= entry best_t
-            best_t = jnp.where(upd, t_cand, best_t)
-            best_p = jnp.where(upd, p_cand, best_p)
+            # PHASE 1 per sub-packet: pop up to nn nodes and nl leaves
+            # (DUMMY when short) from its stack segment, fetch leaf rows
+            # (VMEM reads in RESIDENT mode; in STREAMED mode test the rows
+            # whose DMAs started last iteration — a one-iteration software
+            # pipeline hides the HBM latency; the first wait consumes the
+            # dummy-row priming copies).
+            popped = []
+            for j in range(fuse):
+                rows_nl = None
+                if streamed:
+                    wait_leaf_copies()
+                    rows_nl = tuple(lbuf[i:i + 1, :] for i in range(nl))
+                sn = sps[2 * j]
+                nes = [jnp.where(sn > i,
+                                 nstack[j * NSTACK
+                                        + jnp.maximum(sn - 1 - i, 0)],
+                                 dummy_e) for i in range(nn)]
+                sps[2 * j] = jnp.maximum(sn - nn, 0)
+                sl = sps[2 * j + 1]
+                les = [jnp.where(sl > i,
+                                 lstack[j * LSTACK
+                                        + jnp.maximum(sl - 1 - i, 0)],
+                                 ldummy_e) for i in range(nl)]
+                sps[2 * j + 1] = jnp.maximum(sl - nl, 0)
+                if instanced:
+                    # S = 2048: decode via shift/mask (scalar int div/mod
+                    # lowers poorly in Mosaic)
+                    nps = [jax.lax.shift_right_logical(e, 11) for e in nes]
+                    nis = [jax.lax.bitwise_and(e, S - 1) for e in nes]
+                    lps = [jax.lax.shift_right_logical(e, 11) for e in les]
+                    lis = [jax.lax.bitwise_and(e, S - 1) for e in les]
+                else:
+                    nps, nis = nes, [None] * nn
+                    lps, lis = les, None
+                if streamed:
+                    start_leaf_copies(lps)
+                else:
+                    rows_nl = tuple(tab[pl.ds(li, 1), :] for li in lps)
+                popped.append((nps, nis, lps, lis, rows_nl))
 
+            # PHASE 2 per sub-packet: vector row tests, best_t/p update,
             # NEAR-FIRST ordering of this iteration's <=ncand pushes
             # (measured on the dragon BVH8: 857 -> 186 iters/packet on
             # incoherent rays, tools/sim_walk.py): rank the candidates by
@@ -525,105 +571,135 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
             # are popped. All vector-side: rank_c = #{j : (dist_j, j) <
             # (dist_c, c)} is an [ncand,128] compare + sublane sum; the
             # permuted metas are a one-hot lane sum scattered to sublane
-            # rank_c.
-            meta_lane = node_md[0][0]            # disjoint lanes per node
-            dist_lane = node_md[0][1]
-            for md, dd in node_md[1:]:
-                meta_lane = meta_lane + md
-                dist_lane = dist_lane + dd
-            if slot_order:
-                # A/B reference policy: child-slot order (the pre-ordering
-                # kernel's behavior — last child popped first)
-                rank = (ncand - 1) - laneC[0:1, :]
-            else:
-                dC = jnp.take_along_axis(
-                    jnp.broadcast_to(dist_lane, (ncand, LANES)), subC,
-                    axis=1)
-                lt = (dC < dist_lane) \
-                    | ((dC == dist_lane) & (subC < laneC))
-                rank = jnp.sum(jnp.where(lt, 1, 0), axis=0, keepdims=True)
-            oh = (jnp.broadcast_to(rank, (ncand, LANES)) == subC) \
-                & (laneC < ncand)
-            perm = jnp.sum(
-                jnp.where(oh, jnp.broadcast_to(meta_lane, (ncand, LANES)),
-                          0.0),
-                axis=1, keepdims=True)           # sublane r = meta @ rank r
-            mscr[...] = jnp.broadcast_to(perm, (ncand, LANES))
+            # rank_c, staged in mscr segment j for phase 3's scalar loads.
+            for j in range(fuse):
+                nps, nis, lps, lis, rows_nl = popped[j]
+                node_md = [node_tests(ctxs[j], nps[i], 8 * i, bts[j],
+                                      nis[i]) for i in range(nn)]
+                t_cand, p_cand = leaf_tests(ctxs[j], rows_nl, bts[j], lis)
+                upd = t_cand < jnp.inf   # ok already implies t <= best_t
+                bts[j] = jnp.where(upd, t_cand, bts[j])
+                bps[j] = jnp.where(upd, p_cand, bps[j])
 
-            # branch-free pushes: ALWAYS store at the stack top, advance
-            # the pointer only when the candidate is real (meta != 0 folds
-            # the hit flag in) — a `pl.when` per child measured ~100 ns of
-            # branch overhead each; stale writes above sp are never read.
-            # The farthest rank (or dummy) pushes first, rank 0 lands on
-            # top.
-            sn = jnp.minimum(sps[0], NSTACK - 1)
-            sl = jnp.minimum(sps[1], LSTACK - 1)
-            if instanced:
-                is_tlas = [nps[i] < tlas_rows for i in range(nn)]
-            for r in range(ncand - 1, -1, -1):
-                meta = mscr[r, 0].astype(jnp.int32)
-                if instanced:
-                    # TLAS rows have no leaf children: negative meta there
-                    # is an INSTANCE entry -(i+1) -> push (blas root of i,
-                    # i); positive meta is a TLAS subrow (rides instance
-                    # 0, which TLAS pops always carry). BLAS rows keep the
-                    # flat conventions with the popped row's instance
-                    # inherited.
-                    it = is_tlas[r // 8]
-                    inst_s = nis[r // 8]
-                    im = jnp.maximum(-meta - 1, 0)
-                    root = aux[im, 12].astype(jnp.int32)
-                    ne = jnp.where(it & (meta < 0), root * S + im,
-                                   meta * S + inst_s)
-                    push_n = jnp.where(it, meta != 0, meta > 0)
-                    le = (-meta) * S + inst_s
-                    push_l = (~it) & (meta < 0)
+                meta_lane = node_md[0][0]        # disjoint lanes per node
+                dist_lane = node_md[0][1]
+                for md, dd in node_md[1:]:
+                    meta_lane = meta_lane + md
+                    dist_lane = dist_lane + dd
+                if slot_order:
+                    # A/B reference policy: child-slot order (the
+                    # pre-ordering kernel's behavior — last child pops
+                    # first)
+                    rank = (ncand - 1) - laneC[0:1, :]
                 else:
-                    ne, le = meta, -meta
-                    push_n, push_l = meta > 0, meta < 0
-                nstack[sn] = ne
-                sn = jnp.minimum(sn + jnp.where(push_n, 1, 0), NSTACK - 1)
-                lstack[sl] = le
-                sl = jnp.minimum(sl + jnp.where(push_l, 1, 0), LSTACK - 1)
-            sps[0] = sn
-            sps[1] = sl
+                    dC = jnp.take_along_axis(
+                        jnp.broadcast_to(dist_lane, (ncand, LANES)), subC,
+                        axis=1)
+                    lt = (dC < dist_lane) \
+                        | ((dC == dist_lane) & (subC < laneC))
+                    rank = jnp.sum(jnp.where(lt, 1, 0), axis=0,
+                                   keepdims=True)
+                oh = (jnp.broadcast_to(rank, (ncand, LANES)) == subC) \
+                    & (laneC < ncand)
+                perm = jnp.sum(
+                    jnp.where(oh,
+                              jnp.broadcast_to(meta_lane, (ncand, LANES)),
+                              0.0),
+                    axis=1, keepdims=True)       # sublane r = rank-r meta
+                mscr[pl.ds(j * ncand, ncand), :] = jnp.broadcast_to(
+                    perm, (ncand, LANES))
 
-            more = (sps[0] > 0) | (sps[1] > 0)
-            if streamed:
-                # the leaf rows now in flight still need their test
-                for li in lps:
-                    more |= li != ldummy
-            if any_hit:
-                # one vector->scalar sync: any live lane still unhit?
-                more &= jnp.max(jnp.where((best_p < 0.0) & live, 1, 0)) > 0
-            return more, best_t, best_p
+            # PHASE 3 per sub-packet: branch-free scalar pushes — ALWAYS
+            # store at the stack top, advance the pointer only when the
+            # candidate is real (meta != 0 folds the hit flag in); a
+            # `pl.when` per child measured ~100 ns of branch overhead
+            # each; stale writes above sp are never read. The farthest
+            # rank (or dummy) pushes first, rank 0 lands on top. This
+            # scalar chain is independent across sub-packets, so it packs
+            # into the VLIW slots left by the other sub-packets' vector
+            # phases.
+            more = None
+            for j in range(fuse):
+                nps, nis, lps, lis, rows_nl = popped[j]
+                sn = jnp.minimum(sps[2 * j], NSTACK - 1)
+                sl = jnp.minimum(sps[2 * j + 1], LSTACK - 1)
+                if instanced:
+                    is_tlas = [nps[i] < tlas_rows for i in range(nn)]
+                for r in range(ncand - 1, -1, -1):
+                    meta = mscr[j * ncand + r, 0].astype(jnp.int32)
+                    if instanced:
+                        # TLAS rows have no leaf children: negative meta
+                        # there is an INSTANCE entry -(i+1) -> push (blas
+                        # root of i, i); positive meta is a TLAS subrow
+                        # (rides instance 0, which TLAS pops always
+                        # carry). BLAS rows keep the flat conventions with
+                        # the popped row's instance inherited.
+                        it = is_tlas[r // 8]
+                        inst_s = nis[r // 8]
+                        im = jnp.maximum(-meta - 1, 0)
+                        root = aux[im, 12].astype(jnp.int32)
+                        ne = jnp.where(it & (meta < 0), root * S + im,
+                                       meta * S + inst_s)
+                        push_n = jnp.where(it, meta != 0, meta > 0)
+                        le = (-meta) * S + inst_s
+                        push_l = (~it) & (meta < 0)
+                    else:
+                        ne, le = meta, -meta
+                        push_n, push_l = meta > 0, meta < 0
+                    nstack[j * NSTACK + sn] = ne
+                    sn = jnp.minimum(sn + jnp.where(push_n, 1, 0),
+                                     NSTACK - 1)
+                    lstack[j * LSTACK + sl] = le
+                    sl = jnp.minimum(sl + jnp.where(push_l, 1, 0),
+                                     LSTACK - 1)
+                sps[2 * j] = sn
+                sps[2 * j + 1] = sl
 
+                mj = (sn > 0) | (sl > 0)
+                if streamed:
+                    # the leaf rows now in flight still need their test
+                    for li in lps:
+                        mj |= li != ldummy
+                if any_hit:
+                    # one vector->scalar sync: any live lane still unhit?
+                    mj &= jnp.max(jnp.where((bps[j] < 0.0)
+                                            & ctxs[j]["live"], 1, 0)) > 0
+                more = mj if more is None else more | mj
+            return (more, *bts, *bps)
+
+        for j in range(fuse):
+            sps[2 * j] = 1      # node stack: root row 0 pre-pushed
+            sps[2 * j + 1] = 0  # leaf stack
+            nstack[j * NSTACK] = 0
         if streamed:
             # prime the pipeline with dummy-row copies so the first body
             # iteration's wait/test pair is uniform
             start_leaf_copies([ldummy] * nl)
-        state = (jnp.bool_(True), tmax,
-                 jnp.full(rox.shape, -1.0, jnp.float32))
-        _, best_t, best_p = jax.lax.while_loop(cond, body, state)
+        state = (jnp.bool_(True),) \
+            + tuple(c["tmax"] for c in ctxs) \
+            + tuple(jnp.full((rows, LANES), -1.0, jnp.float32)
+                    for _ in ctxs)
+        out = jax.lax.while_loop(cond, body, state)
         if streamed:
             # drain the copies started by the final iteration so the DMA
             # semaphores are balanced before the next grid step
             wait_leaf_copies()
-        t_out[sl_, :] = best_t
-        p_out[sl_, :] = best_p
+        for j, ctx in enumerate(ctxs):
+            t_out[ctx["sl"], :] = out[1 + j]
+            p_out[ctx["sl"], :] = out[1 + fuse + j]
 
-    for sp in range(subpk):
-        walk_sub(sp)
+    for g in range(subpk // fuse):
+        walk_group(g)
 
 
 @functools.partial(
     jax.jit, static_argnames=("has_tri", "has_sph", "has_lin", "any_hit",
                               "n8", "interpret", "slot_order", "packet_w",
-                              "nn", "nl", "n_inst", "tlas_rows"))
+                              "nn", "nl", "n_inst", "tlas_rows", "fuse"))
 def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
                      has_sph, has_lin, any_hit, n8=None, interpret=False,
                      slot_order=False, packet_w=PACKET_W, nn=NN, nl=NL,
-                     n_inst=0, tlas_rows=0):
+                     n_inst=0, tlas_rows=0, fuse=FUSE):
     assert not (n_inst and n8 is not None), \
         "instanced walk is resident-only"
     n = ro.shape[0]
@@ -632,6 +708,9 @@ def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
                           or BLOCK_ROWS % rows == 0), packet_w
     block_rows = max(rows, BLOCK_ROWS)
     subpk = block_rows // rows
+    if n8 is not None or fuse > subpk:
+        fuse = 1 if n8 is not None else subpk  # streamed: single lbuf
+    assert subpk % fuse == 0, (subpk, fuse)
     blk = block_rows * LANES
     n_pad = (n + blk - 1) // blk * blk
 
@@ -715,7 +794,8 @@ def supports(scene, static) -> bool:
 def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
                     interpret: bool = False, force_streamed: bool = False,
                     slot_order: bool = False, nn: int | None = None,
-                    nl: int | None = None, packet_w: int | None = None):
+                    nl: int | None = None, packet_w: int | None = None,
+                    fuse: int | None = None):
     """Drop-in for geom.packet.packet_traverse on the TPU backend.
 
     slot_order=True selects the unordered push policy (A/B baseline for
@@ -729,6 +809,7 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
     nn = NN if nn is None else nn
     nl = NL if nl is None else nl
     packet_w = PACKET_W if packet_w is None else packet_w
+    fuse = FUSE if fuse is None else fuse
     n = ro.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax_b = jnp.asarray(tmax, jnp.float32) * jnp.ones(n, jnp.float32)
@@ -740,7 +821,7 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
             has_tri=static.has_triangles, has_sph=static.has_spheres,
             has_lin=static.has_lines, any_hit=any_hit, n8=None,
             interpret=interpret, slot_order=slot_order, nn=nn, nl=nl,
-            packet_w=packet_w, n_inst=n_inst,
+            packet_w=packet_w, fuse=fuse, n_inst=n_inst,
             tlas_rows=static.bvh8_tlas_rows)
     rows = int(scene.bvh8_table.shape[0])
     n8 = None
@@ -751,4 +832,4 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
         has_tri=static.has_triangles, has_sph=static.has_spheres,
         has_lin=static.has_lines, any_hit=any_hit, n8=n8,
         interpret=interpret, slot_order=slot_order, nn=nn, nl=nl,
-        packet_w=packet_w)
+        packet_w=packet_w, fuse=fuse)

@@ -72,36 +72,37 @@ def main():
 
     import functools
 
-    # configs: (label, slot_order, nn, nl, packet_w)
-    # sim sweep (tools/sim_walk_stats.py, dragon bounce rays, cyc/ray):
-    # W1024(1,2) 316 | W512(2,3) 190 | W256(4,4) 118 | W128(3,3) 112 |
-    # W128(4,4) 101 — narrow packets + wide pops win on paper; this
-    # fits the real per-iteration cost.
+    # configs: (label, slot_order, nn, nl, packet_w, fuse)
+    # TPU sweep history (dragon, 262k sorted bounce rays):
+    # 2026-08-19 wider pops: W256(4,4) 67.1ms BEST; 6+6/8+8 LOSE (the
+    # iteration is no longer purely latency-bound at 4+4) — hence fuse:
+    # walk several sub-packets per while-loop so independent scalar/
+    # vector chains overlap instead of widening one packet's pops.
     CONFIGS = [
-        ("near 1+2 W1024", False, 1, 2, 1024),   # shipped kernel
-        ("near 2+3 W512", False, 2, 3, 512),
-        ("near 3+3 W256", False, 3, 3, 256),
-        ("near 4+4 W256", False, 4, 4, 256),
-        ("near 3+3 W128", False, 3, 3, 128),
-        ("near 4+4 W128", False, 4, 4, 128),
+        ("near 1+2 W1024", False, 1, 2, 1024, 1),   # cross-session anchor
+        ("near 4+4 W256", False, 4, 4, 256, 1),     # shipped default
+        ("near 4+4 W256 F2", False, 4, 4, 256, 2),
+        ("near 4+4 W256 F4", False, 4, 4, 256, 4),
+        ("near 2+2 W256 F4", False, 2, 2, 256, 4),
+        ("near 4+4 W128 F4", False, 4, 4, 128, 4),
+        ("near 4+4 W128 F8", False, 4, 4, 128, 8),
     ]
 
     @functools.partial(jax.jit,
-                       static_argnames=("slot", "nn", "nl", "pw"))
-    def walk(ro_, rd_, slot=False, nn=2, nl=2, pw=1024):
+                       static_argnames=("slot", "nn", "nl", "pw", "fu"))
+    def walk(ro_, rd_, slot=False, nn=2, nl=2, pw=1024, fu=1):
         t, pr, _ = packet_tpu.packet_traverse(
             dev, static, ro_, rd_, 1e-3, jnp.inf, any_hit=False,
-            slot_order=slot, nn=nn, nl=nl, packet_w=pw)
+            slot_order=slot, nn=nn, nl=nl, packet_w=pw, fuse=fu)
         return t, pr
 
     # compile + warm every config; verify agreement vs the baseline
     args = {k: (jnp.asarray(a), jnp.asarray(b)) for k, (a, b) in cases.items()}
     for k, (a, b) in args.items():
         ref = None
-        for lbl, s, nn, nl, pw in CONFIGS:
-            
+        for lbl, s, nn, nl, pw, fu in CONFIGS:
             out = jax.block_until_ready(walk(a, b, slot=s, nn=nn, nl=nl,
-                                             pw=pw))
+                                             pw=pw, fu=fu))
             if ref is None:
                 ref = out
             else:
@@ -114,10 +115,10 @@ def main():
     best = {(k, c[0]): 1e9 for k in cases for c in CONFIGS}
     for _ in range(REPS):
         for k, (a, b) in args.items():
-            for lbl, s, nn, nl, pw in CONFIGS:
+            for lbl, s, nn, nl, pw, fu in CONFIGS:
                 t0 = time.perf_counter()
                 jax.block_until_ready(walk(a, b, slot=s, nn=nn, nl=nl,
-                                           pw=pw))
+                                           pw=pw, fu=fu))
                 best[(k, lbl)] = min(best[(k, lbl)],
                                      time.perf_counter() - t0)
     for k in cases:
