@@ -56,3 +56,51 @@ def iteration_key(seed: int | jax.Array, iteration: jax.Array) -> jax.Array:
     """Key for one progressive-rendering iteration (frame)."""
     base = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
     return jax.random.fold_in(base, iteration)
+
+
+# Primary-sample-space dim budget for the PT lane program (PSSMLT,
+# integrators/mlt.py). The camera consumes 4 (pixel jitter + aperture);
+# a PT bounce consumes 7 (NEE pick + light uv, BSDF u1 u2 u3, RR) —
+# budgeted to 8 so the layout survives small estimator changes. The
+# stream asserts the budget at trace time.
+PSS_CAM_DIMS = 4
+PSS_BOUNCE_DIMS = 8
+
+
+class PrimarySampleStream:
+    """RngStream-compatible reader of an explicit primary-sample matrix.
+
+    PSSMLT (Kelemen et al. 2002) drives the regular PT lane program with
+    uniforms a Markov chain can MUTATE, so instead of folding a key per
+    draw site, each site reads the next row of `u` [D, N] (one column
+    per chain/lane). The site counter advances at trace time exactly
+    like RngStream's fold counter, so a given (static config, bounce)
+    always maps to the same dims — the fixed u -> path mapping MLT
+    needs. `base` may be a traced scalar (the per-bounce offset inside
+    the bounce lax.scan); `budget` bounds the dims a scope may consume.
+    """
+
+    def __init__(self, u: jax.Array, base=0, budget: int | None = None):
+        self._u = u
+        self._base = base
+        self._site = 0
+        self._budget = budget
+
+    def _row(self) -> jax.Array:
+        if self._budget is not None and self._site >= self._budget:
+            raise ValueError(
+                f"primary-sample budget exceeded: {self._site + 1} > "
+                f"{self._budget} (raise PSS_BOUNCE_DIMS)")
+        r = jax.lax.dynamic_slice_in_dim(
+            self._u, self._base + self._site, 1, axis=0)[0]
+        self._site += 1
+        return r
+
+    def uniform(self, shape=()):
+        return self._row()
+
+    def uniform2(self, shape=()):
+        return self._row(), self._row()
+
+    def uniform3(self, shape=()):
+        return self._row(), self._row(), self._row()

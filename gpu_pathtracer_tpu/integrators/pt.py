@@ -97,26 +97,44 @@ def _sort_key(scene, ro, rd, alive):
     return jnp.where(alive, key, 1 << 20)
 
 
-def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
+def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False,
+                 psample=None):
     """Returns per-lane radiance [N, 3] for one path-traced sample.
 
     with_stats=True additionally returns the number of rays traced
     (closest-hit + any-hit across all bounces) for throughput metrics.
+
+    psample (PSSMLT, integrators/mlt.py): a [D, N] primary-sample matrix
+    replacing the counter-based RNG — lane i's path becomes the fixed
+    deterministic map f(psample[:, i]) a Markov chain can mutate. Layout
+    per core.rng: rows [0, PSS_CAM_DIMS) camera, then PSS_BOUNCE_DIMS
+    per bounce. Requires the unsorted (dense-regime) wavefront: lane
+    shuffling would make lane i's draws depend on OTHER lanes' sort
+    order, breaking the per-chain mapping.
     """
     from gpu_pathtracer_tpu.geom.dense import DENSE_MAX
     from gpu_pathtracer_tpu.integrators import pt_fused
-    if jax.default_backend() == "tpu" and pt_fused.supports(static):
+    if psample is None and jax.default_backend() == "tpu" \
+            and pt_fused.supports(static):
         # whole-path megakernel: one Pallas call per iteration instead of
         # ~50 HBM-bound XLA fusions per bounce (see pt_fused docstring)
         return pt_fused.render_lanes(scene, static, key, pixel_x, pixel_y,
                                      with_stats)
     n = pixel_x.shape[0]
-    rng0 = RngStream(key)
+    if psample is None:
+        rng0 = RngStream(key)
+    else:
+        from gpu_pathtracer_tpu.core.rng import (
+            PSS_CAM_DIMS, PrimarySampleStream)
+        rng0 = PrimarySampleStream(psample, 0, budget=PSS_CAM_DIMS)
     ro, rd = primary_rays(scene, static, rng0, pixel_x, pixel_y)
     eps = scene.epsilon
     # lane shuffling is only worth it when traversal cares about
     # coherence (block-culled / packet paths); dense scenes skip it
     do_sort = static.n_primitives > DENSE_MAX
+    if psample is not None:
+        assert not do_sort, \
+            "PSSMLT requires the unsorted dense-regime wavefront"
 
     li = jnp.zeros((n, 3), jnp.float32)
     beta = jnp.ones((n, 3), jnp.float32)
@@ -146,7 +164,14 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False):
 
     def bounce(carry, bounce_idx):
         ro, rd, li, beta, specular, alive, prev_pdf, lane_id = carry
-        rng = RngStream(jax.random.fold_in(key, 1000 + bounce_idx))
+        if psample is None:
+            rng = RngStream(jax.random.fold_in(key, 1000 + bounce_idx))
+        else:
+            from gpu_pathtracer_tpu.core.rng import (
+                PSS_BOUNCE_DIMS, PSS_CAM_DIMS, PrimarySampleStream)
+            rng = PrimarySampleStream(
+                psample, PSS_CAM_DIMS + bounce_idx * PSS_BOUNCE_DIMS,
+                budget=PSS_BOUNCE_DIMS)
         n_alive_in = jnp.sum(alive.astype(jnp.int32))
 
         hit = traverse.intersect_closest(

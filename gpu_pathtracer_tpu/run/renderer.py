@@ -74,10 +74,11 @@ def lane_program(integrator: IntegratorType):
         from gpu_pathtracer_tpu.integrators import ir
         return "ir", ir.render_lanes
     if integrator == IntegratorType.MLT:
-        # stub parity: the reference's Mlt kernel is empty and never
-        # dispatched (pathtracer.cu:1973-1983, 2711-2745)
+        # the reference's Mlt kernel is an empty stub it never dispatches
+        # (pathtracer.cu:1973-1983, 2711-2745); ours is a real PSSMLT
+        # (integrators/mlt.py) with persistent chain state
         from gpu_pathtracer_tpu.integrators import mlt
-        return "pixel", mlt.render_lanes
+        return "mlt", mlt.render_iteration
     raise NotImplementedError(f"integrator {integrator!r} not yet built")
 
 
@@ -178,6 +179,22 @@ class Renderer:
 
             def c_rep(x):
                 return x
+
+        if self.kind == "mlt":
+            # PSSMLT: persistent Markov-chain state (one chain per
+            # pixel-count lane), absolute film like SPPM. Mutation steps
+            # run untiled: one step = one PT iteration's worth of rays.
+            from gpu_pathtracer_tpu.integrators import mlt as mlt_mod
+            self._mlt_state = None   # bootstrapped on first iteration
+            self._mlt_boot = jax.jit(functools.partial(
+                mlt_mod.bootstrap, static=static, n_chains=n))
+
+            @jax.jit
+            def mlt_step(dscene, state, key):
+                return program(dscene, static, key, state)
+
+            self._mlt_step = mlt_step
+            return
 
         if self.kind == "sppm":
             # SPPM couples all pixels through the photon grid: runs
@@ -333,6 +350,15 @@ class Renderer:
         device dispatch (mirrors the reference's per-frame Render +
         Output, pathtracer.cu:2705-2750)."""
         self.iteration += 1
+        if self.kind == "mlt":
+            key = iteration_key(self.seed, jnp.int32(self.iteration))
+            if self._mlt_state is None:
+                self._mlt_state = self._mlt_boot(
+                    self.device_scene, key=jax.random.fold_in(key, 999))
+            self._mlt_state, film = self._mlt_step(
+                self.device_scene, self._mlt_state, key)
+            self.acc = film  # absolute estimate (b-normalized)
+            return
         if self.kind == "sppm":
             key = iteration_key(self.seed, jnp.int32(self.iteration))
             self._sppm_state, film = self._sppm_step(
@@ -367,17 +393,19 @@ class Renderer:
             from gpu_pathtracer_tpu.integrators import sppm as sppm_mod
             self._sppm_state = self._place_sppm_state(sppm_mod.init_state(
                 self.width * self.height, self.static.init_radius))
+        if self.kind == "mlt":
+            self._mlt_state = None   # re-bootstraps on next iteration
 
     def radiance(self) -> np.ndarray:
         """Mean radiance film [H, W, 3] (row 0 = bottom), pre-tonemap."""
         acc = np.asarray(self.acc).reshape(self.height, self.width, 3)
-        if self.kind == "sppm":
+        if self.kind in ("sppm", "mlt"):
             return acc
         return acc / max(self.iteration, 1)
 
     def image(self) -> np.ndarray:
         """Tonemapped display image [H, W, 3] (row 0 = bottom)."""
-        it = 1 if self.kind == "sppm" else self.iteration
+        it = 1 if self.kind in ("sppm", "mlt") else self.iteration
         img = film_mod.tonemap(self.acc, jnp.float32(it),
                                self.static.filmic)
         return np.asarray(img).reshape(self.height, self.width, 3)

@@ -106,11 +106,16 @@ def test_ir_smoke(cornell_small):
     assert 0.5 < ratio < 1.5, ratio
 
 
-def test_mlt_stub_black(cornell_small):
-    """Reference parity: MLT is an empty stub kernel that is never
-    dispatched -> zero radiance (pathtracer.cu:1973-1983)."""
-    b = _render(cornell_small, IntegratorType.MLT, 1)
-    assert (b == 0).all()
+def test_mlt_renders(cornell_small):
+    """The reference's Mlt kernel is an empty stub it never dispatches
+    (pathtracer.cu:1973-1983); ours is a real PSSMLT — a brief chain
+    must already land in the right brightness range on cornell
+    (convergence is gated by tests/test_mlt.py)."""
+    a = _render(cornell_small, IntegratorType.PT, 16, seed=1)
+    b = _render(cornell_small, IntegratorType.MLT, 48, seed=0)
+    assert np.isfinite(b).all()
+    ratio = b.mean() / a.mean()
+    assert 0.7 < ratio < 1.4, ratio
 
 
 def test_deterministic_given_seed(cornell_small):

@@ -18,10 +18,11 @@ from PIL import Image, ImageDraw
 
 SIZE = 2048
 CELLS = 8          # major cells across the texture
-LINE_W = 5         # major line width (px)
+LINE_W = 3         # major line width (px)
 PAPER = 235        # paper gray level (display, sRGB)
-LINE = 30          # major line level
-LABEL = 120        # label ink level
+LINE = 185         # major line level (the golden's lines are
+                   # thin and light: ~0.8x the paper level)
+LABEL = 170        # label ink level
 
 
 def main():
