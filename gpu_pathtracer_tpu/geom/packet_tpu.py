@@ -606,8 +606,22 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                               jnp.broadcast_to(meta_lane, (ncand, LANES)),
                               0.0),
                     axis=1, keepdims=True)       # sublane r = rank-r meta
-                mscr[pl.ds(j * ncand, ncand), :] = jnp.broadcast_to(
+                msk = 2 * ncand if instanced else ncand
+                mscr[pl.ds(j * msk, ncand), :] = jnp.broadcast_to(
                     perm, (ncand, LANES))
+                if instanced:
+                    # the ranking divorces a candidate from the pop it
+                    # came from, but the push decode needs the SOURCE
+                    # pop's instance and TLAS-ness — permute the source
+                    # index (candidate lane // 8) alongside the metas
+                    src_row = (laneC[0:1, :] // 8).astype(jnp.float32)
+                    perm_src = jnp.sum(
+                        jnp.where(oh, jnp.broadcast_to(src_row,
+                                                       (ncand, LANES)),
+                                  0.0),
+                        axis=1, keepdims=True)
+                    mscr[pl.ds(j * msk + ncand, ncand), :] = \
+                        jnp.broadcast_to(perm_src, (ncand, LANES))
 
             # PHASE 3 per sub-packet: branch-free scalar pushes — ALWAYS
             # store at the stack top, advance the pointer only when the
@@ -625,17 +639,27 @@ def _walk_kernel(*refs, has_tri, has_sph, has_lin, any_hit, n8,
                 sl = jnp.minimum(sps[2 * j + 1], LSTACK - 1)
                 if instanced:
                     is_tlas = [nps[i] < tlas_rows for i in range(nn)]
+                msk = 2 * ncand if instanced else ncand
                 for r in range(ncand - 1, -1, -1):
-                    meta = mscr[j * ncand + r, 0].astype(jnp.int32)
+                    meta = mscr[j * msk + r, 0].astype(jnp.int32)
                     if instanced:
                         # TLAS rows have no leaf children: negative meta
                         # there is an INSTANCE entry -(i+1) -> push (blas
                         # root of i, i); positive meta is a TLAS subrow
                         # (rides instance 0, which TLAS pops always
                         # carry). BLAS rows keep the flat conventions with
-                        # the popped row's instance inherited.
-                        it = is_tlas[r // 8]
-                        inst_s = nis[r // 8]
+                        # the popped row's instance inherited — resolved
+                        # through the PERMUTED source-pop index (ranking
+                        # reorders candidates across pops; indexing by
+                        # r // 8 here was the nn>1 instanced bug).
+                        srci = mscr[j * msk + ncand + r,
+                                    0].astype(jnp.int32)
+                        it = is_tlas[0]
+                        inst_s = nis[0]
+                        for i in range(1, nn):
+                            sel = srci == i
+                            it = jnp.where(sel, is_tlas[i], it)
+                            inst_s = jnp.where(sel, nis[i], inst_s)
                         im = jnp.maximum(-meta - 1, 0)
                         root = aux[im, 12].astype(jnp.int32)
                         ne = jnp.where(it & (meta < 0), root * S + im,
@@ -737,7 +761,9 @@ def _packet_tpu_call(table, nodes4, aux, ro, rd, tmin, tmax, *, has_tri,
         pltpu.SMEM((LSTACK,), jnp.int32),
         pltpu.SMEM((2,), jnp.int32),
         pltpu.SemaphoreType.DMA(()),
-        pltpu.VMEM((8 * nn, LANES), jnp.float32),  # rank-permuted metas
+        # rank-permuted metas (+ permuted source-pop indices, instanced)
+        pltpu.VMEM((fuse * 8 * nn * (2 if n_inst else 1), LANES),
+                   jnp.float32),
     ]
     inputs = (table,)
     in_specs = [tab_spec]

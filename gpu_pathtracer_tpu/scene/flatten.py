@@ -93,6 +93,8 @@ class DeviceScene:
     tex_offset: jnp.ndarray      # [Nt] i32
     tex_w: jnp.ndarray           # [Nt] i32
     tex_h: jnp.ndarray           # [Nt] i32
+    tex_corners: jnp.ndarray     # [T, 32] f32 corner-packed (texfetch)
+    m_avg_texel: jnp.ndarray     # [M, 3] mean texel (fused stand-in)
 
     # area lights (emissive triangles, area.h:7-42)
     l_v0: jnp.ndarray            # [L, 3]
@@ -206,6 +208,9 @@ class StaticConfig:
     has_spheres: bool
     has_lines: bool
     has_textures: bool
+    textured_types: tuple  # material types that carry a texture (the
+    #                        fused kernel's textured mode is exact only
+    #                        when these are all LAMBERTIAN — pt_fused)
     has_media: bool
     has_hetero: bool
     has_bssrdf: bool
@@ -471,6 +476,35 @@ def flatten_scene(scene: HostScene, cache: bool = True
         tex_offset = np.zeros(1, np.int32)
         tex_w = np.ones(1, np.int32)
         tex_h = np.ones(1, np.int32)
+
+    # corner-packed atlas for the TPU bilinear fetch (ops/texfetch.py):
+    # row i carries the linear-space rgb of texel i AND its +x/+y/+xy
+    # wrap+clamped neighbors (texture.py::_texel semantics baked in), so
+    # one bilinear lookup is ONE row gather instead of 12 element
+    # gathers. Width 32 = the measured fast row-gather class on v5e
+    # (x16 is 10x slower — CLAUDE.md); 4x storage, 128 B/texel.
+    tex_corners = np.zeros((tex_data.shape[0], 32), np.float32)
+    lin = tex_data.astype(np.float32) / 255.0
+    pos = 0
+    for ti in range(len(tex_w)):
+        w, h = int(tex_w[ti]), int(tex_h[ti])
+        img = lin[pos:pos + w * h].reshape(h, w, 3)
+        xp = (np.arange(w) + 1) % w   # the reference's mod-then-clamp
+        yp = (np.arange(h) + 1) % h   # rule wraps x+1 == w to texel 0
+        corners = np.concatenate([
+            img, img[:, xp], img[yp], img[yp][:, xp]], axis=-1)
+        tex_corners[pos:pos + w * h, :12] = corners.reshape(-1, 12)
+        pos += w * h
+
+    # per-material mean texel (linear): the fused megakernel's stand-in
+    # diffuse for textured materials — the XLA post-pass multiplies by
+    # texel/mean per bounce (integrators/pt_fused.py textured mode)
+    m_avg_texel = m_diffuse.copy()
+    for i in range(M):
+        if m_tex[i] >= 0:
+            o = int(tex_offset[m_tex[i]])
+            cnt = int(tex_w[m_tex[i]]) * int(tex_h[m_tex[i]])
+            m_avg_texel[i] = np.maximum(lin[o:o + cnt].mean(0), 1e-4)
 
     # ---- lights -----------------------------------------------------------
     L = max(len(scene.lights), 1)
@@ -738,6 +772,8 @@ def flatten_scene(scene: HostScene, cache: bool = True
         m_tex_idx=jnp.asarray(m_tex),
         tex_data=jnp.asarray(tex_data), tex_offset=jnp.asarray(tex_offset),
         tex_w=jnp.asarray(tex_w), tex_h=jnp.asarray(tex_h),
+        tex_corners=jnp.asarray(tex_corners),
+        m_avg_texel=jnp.asarray(m_avg_texel),
         l_v0=jnp.asarray(l_v0), l_v1=jnp.asarray(l_v1),
         l_v2=jnp.asarray(l_v2),
         l_n0=jnp.asarray(l_n0), l_n1=jnp.asarray(l_n1),
@@ -797,6 +833,8 @@ def flatten_scene(scene: HostScene, cache: bool = True
         has_spheres=bool((prim_type == int(GeometryType.SPHERE)).any()),
         has_lines=bool((prim_type == int(GeometryType.LINE)).any()),
         has_textures=bool(scene.textures),
+        textured_types=tuple(sorted({int(m.type) for m in scene.materials
+                                     if m.textureIdx >= 0})),
         has_media=bool(scene.mediums),
         has_hetero=any(m.type == MediumType.HETEROGENEOUS
                        for m in scene.mediums),

@@ -210,8 +210,20 @@ def test_line_prim_hit_matches_oracle():
 
 def test_supports_gating(cornell):
     dev, static = cornell
+    from gpu_pathtracer_tpu.scene.model import MaterialType
     assert F.supports(static)
-    assert not F.supports(dataclasses.replace(static, has_textures=True))
+    # textured-LAMBERTIAN tri-only scenes are in scope (the XLA ratio
+    # fold, see tests/test_pt_fused_textured.py); textured substrate and
+    # textured+env are not
+    assert F.supports(dataclasses.replace(
+        static, has_textures=True,
+        textured_types=(int(MaterialType.LAMBERTIAN),)))
+    assert not F.supports(dataclasses.replace(
+        static, has_textures=True,
+        textured_types=(int(MaterialType.SUBSTRATE),)))
+    assert not F.supports(dataclasses.replace(
+        static, has_textures=True, has_infinite=True,
+        textured_types=(int(MaterialType.LAMBERTIAN),)))
     assert F.supports(dataclasses.replace(static, has_infinite=True))
     assert not F.supports(dataclasses.replace(static, has_bssrdf=True))
     assert F.supports(dataclasses.replace(static, has_lines=True))
