@@ -89,34 +89,67 @@ def bench_scene(path, size, iters):
 
 # full integrator matrix on cornell 512^2 at the scene's own depth (17)
 # — mirrors the reference's per-frame dispatch over all integrator
-# kernels (pathtracer.cu:2711-2745). (name, timed iters)
+# kernels (pathtracer.cu:2711-2745), plus MLT (which the reference stubs
+# but we implement). (name, timed iters)
 INTEG_MATRIX = [("ao", 8), ("pt", 8), ("vpt", 2), ("lt", 2),
-                ("bdpt", 1), ("sppm", 4), ("ir", 8)]
+                ("bdpt", 1), ("sppm", 4), ("ir", 8), ("mlt", 8)]
+
+# per-stage wall clock bound: warm steady-state stages finish in well
+# under this; a watchdog-scale hang (the round-3 SPPM failure mode) gets
+# reaped without blanking later stages
+STAGE_TIMEOUT = 1500
+
+
+def run_stage(name, iters, size):
+    """One integrator stage, in-process. Prints one JSON line."""
+    import time
+
+    from gpu_pathtracer_tpu.run.renderer import (Renderer,
+                                                 enable_compile_cache)
+    from gpu_pathtracer_tpu.scene.parse import _INTEGRATOR_MAP, load_scene
+    enable_compile_cache()
+
+    host = load_scene("/root/reference/scenes/cornell_box/scene.json")
+    host.width = host.height = size
+    r = Renderer(host, integrator=_INTEGRATOR_MAP[name])
+    r.render(1)   # compile + warm
+    t0 = time.time()
+    r.render(iters)
+    dt = (time.time() - t0) / iters
+    print(f"# integ {name}: {1 / dt:.3f} spp/s @{size}^2 "
+          f"depth {r.static.max_depth}", file=sys.stderr)
+    print(json.dumps({"spp_s": round(1.0 / dt, 4)}))
 
 
 def bench_integrators(size=512):
-    import time
-
-    from gpu_pathtracer_tpu.run.renderer import Renderer
-    from gpu_pathtracer_tpu.scene.parse import _INTEGRATOR_MAP, load_scene
+    """Each stage runs in its OWN subprocess (own TPU client): one crashed
+    or hung kernel can no longer blank every later row of the artifact
+    (round-3 failure: SPPM's watchdog kill turned IR's row into -1 too)."""
+    import subprocess
 
     if os.environ.get("BENCH_SMOKE"):
         size = 32
     out = {}
     for name, iters in INTEG_MATRIX:
         try:
-            host = load_scene("/root/reference/scenes/cornell_box/scene.json")
-            host.width = host.height = size
-            r = Renderer(host, integrator=_INTEGRATOR_MAP[name])
-            r.render(1)   # compile + warm
-            t0 = time.time()
-            r.render(iters)
-            dt = (time.time() - t0) / iters
-            out[name] = round(1.0 / dt, 4)
-            print(f"# integ {name}: {1 / dt:.3f} spp/s @{size}^2 "
-                  f"depth {r.static.max_depth}", file=sys.stderr)
-        except Exception as e:  # a dead TPU client can't recover anyway,
-            # but a single-stage fault must not kill the whole artifact
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", name, str(iters), str(size)],
+                capture_output=True, text=True, timeout=STAGE_TIMEOUT,
+                cwd=REPO)
+            sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+            if proc.returncode == 0:
+                out[name] = json.loads(proc.stdout.strip().splitlines()[-1])[
+                    "spp_s"]
+            else:
+                print(f"# integ {name}: FAILED (rc={proc.returncode})",
+                      file=sys.stderr)
+                out[name] = -1.0
+        except subprocess.TimeoutExpired:
+            print(f"# integ {name}: FAILED (timeout {STAGE_TIMEOUT}s)",
+                  file=sys.stderr)
+            out[name] = -1.0
+        except Exception as e:
             print(f"# integ {name}: FAILED ({type(e).__name__}: {e})",
                   file=sys.stderr)
             out[name] = -1.0
@@ -124,6 +157,10 @@ def bench_integrators(size=512):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--stage":
+        run_stage(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+
     from gpu_pathtracer_tpu.run.renderer import enable_compile_cache
     enable_compile_cache()  # timings exclude compile (warmup); the cache
     # makes repeated bench runs start fast
@@ -152,8 +189,8 @@ def main():
         "dragon_100k_spp_s_512": round(results["dragon_100k"][1], 3),
         "forest_1m_mrays": round(results["forest_1m"][0], 3),
         "forest_1m_spp_s_512": round(results["forest_1m"][1], 3),
-        # all 7 integrators, cornell 512^2 at the scene depth (17):
-        # spp/s keyed integ_<name>
+        # all 8 integrators (7 reference + our real MLT), cornell 512^2
+        # at the scene depth (17): spp/s keyed integ_<name>
         **{f"integ_{k}_spp_s_512": v for k, v in integ.items()},
     }))
 

@@ -65,9 +65,13 @@ def bootstrap(scene, static, key, n_chains: int) -> dict:
     0.14 toward PT's 0.12 over 3200 cold steps on the 32^2 cornell).
     The candidates double as the first b samples."""
     d = n_dims(static)
-    k_u, k_r = jax.random.split(key)
+    # three independent keys: candidate draw, resampling positions, and
+    # the evaluation's own stochastic draws (media Tr). Reusing k_u for
+    # _evaluate correlates the candidate u with the Tr estimator's
+    # randomness in media scenes (VERDICT r3 weak #6).
+    k_u, k_r, k_e = jax.random.split(key, 3)
     u = jax.random.uniform(k_u, (d, n_chains))
-    li, lum, px, py = _evaluate(scene, static, k_u, u)
+    li, lum, px, py = _evaluate(scene, static, k_e, u)
     cdf = jnp.cumsum(lum)
     tot = cdf[-1]
     # systematic resampling: stratified positions over the I-mass

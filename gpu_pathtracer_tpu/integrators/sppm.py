@@ -303,16 +303,104 @@ def build_grid(state: SppmState, hash_size: int):
     return sorted_vp, bucket_start, bmin, bmax, res
 
 
+K_CAP = 32  # per-photon, per-bounce VP-candidate cap (see photon_pass)
+
+
 def photon_pass(scene, static, key, state: SppmState, grid, n_photons,
                 hash_size):
     """TracePhoton (pathtracer.cu:2207-2281): returns (phi [N,3], m [N])
     — per-VP flux sum and photon count for the batched progressive
-    update."""
+    update.
+
+    Deposit strategy (TPU-native; replaces the reference's per-photon
+    linked-list walk, cu:2229-2262): at the reference's default
+    initRadius=0.5 (parsescene.cpp:213) the cornell grid has ~150 cells
+    and buckets of thousands of entries, so an exact bucket walk is
+    10^8 photon-VP pairs per bounce — the round-3 TPU watchdog kill.
+    Each photon instead samples min(bucket_len, K_CAP) entries of its
+    bucket at a random rotation and weights deposits by bucket_len/K —
+    every entry has marginal inclusion probability K/len, so the flux
+    and photon-count (m) estimates stay unbiased; once the progressive
+    radius shrinks buckets below K_CAP the cap is inactive and the walk
+    is exact. Pair work is a dense [k, K_CAP] block per cond-gated
+    prefix slice (photons argsorted by bucket length, so bounces where
+    few photons deposit skip most slices), with VP attributes fetched
+    from two x8-packed side tables (the measured-fast row-gather class)
+    and deposits scatter-added into one x8-packed accumulator."""
     sorted_vp, bucket_start, bmin, bmax, res = grid
     n_vp = state.radius.shape[0]
     n = n_photons
     eps = scene.epsilon
     diag = bmax - bmin
+
+    # x8-packed VP side tables, built once per pass:
+    # tabA: pos(3) radius valid pad(3) — the distance-test row
+    # tabB: bf16 pairs of [nor(3) dpdu(3) dir(3) pad] (5 slots), mat_idx,
+    #       uv(2) f32 — the BSDF-eval row (bf16 frame vectors are plenty
+    #       for flux deposits already blurred by the kernel radius)
+    from gpu_pathtracer_tpu.shade.media import (_pack_bf16_pairs,
+                                                _unpack_bf16_pairs)
+    tabA = jnp.concatenate(
+        [state.pos, state.radius[:, None],
+         state.valid.astype(jnp.float32)[:, None],
+         jnp.zeros((n_vp, 3), jnp.float32)], axis=1)
+    tabB = jnp.concatenate(
+        [_pack_bf16_pairs(jnp.concatenate(
+            [state.nor, state.dpdu, state.dir,
+             jnp.zeros((n_vp, 1), jnp.float32)], axis=1)),
+         state.mat_idx.astype(jnp.float32)[:, None], state.uv], axis=1)
+
+    def _dense_deposit(sp, acc8):
+        """All (photon, sampled VP entry) pairs for one photon slice."""
+        k = sp.shape[0]
+        ppos, prd, pbeta = sp[:, 0:3], sp[:, 3:6], sp[:, 6:9]
+        start = sp[:, 9].astype(jnp.int32)
+        end = sp[:, 10].astype(jnp.int32)
+        u_off = sp[:, 11]
+        blen = jnp.maximum(end - start, 0)
+        sel = jnp.minimum(blen, K_CAP)
+        off0 = jnp.minimum((u_off * blen.astype(jnp.float32))
+                           .astype(jnp.int32), jnp.maximum(blen - 1, 0))
+        kio = jnp.arange(K_CAP, dtype=jnp.int32)[None, :]
+        rel = off0[:, None] + kio
+        rel = jnp.where(rel >= blen[:, None],
+                        rel - jnp.maximum(blen[:, None], 1), rel)
+        pair_ok = kio < sel[:, None]                       # [k, K]
+        eidx = jnp.clip(start[:, None] + rel, 0,
+                        sorted_vp.shape[0] - 1)
+        vp = jnp.maximum(jnp.take(sorted_vp,
+                                  jnp.where(pair_ok, eidx, 0)), 0)
+        flat = vp.reshape(-1)
+        a = jnp.take(tabA, flat, axis=0)                   # [k*K, 8]
+        pposr = jnp.broadcast_to(ppos[:, None, :],
+                                 (k, K_CAP, 3)).reshape(-1, 3)
+        d = pposr - a[:, 0:3]
+        vrad = a[:, 3]
+        near = (dot(d, d) <= vrad * vrad) & (a[:, 4] > 0.0) \
+            & pair_ok.reshape(-1)
+        b = jnp.take(tabB, jnp.where(near, flat, 0), axis=0)
+        unp = _unpack_bf16_pairs(b[:, 0:5])                # [k*K, 10]
+        vnor, vdpdu, vdir = unp[:, 0:3], unp[:, 3:6], unp[:, 6:9]
+        vuv = b[:, 6:8]
+        vmat = bsdf_mod.gather_materials(
+            scene, static,
+            jnp.where(near, b[:, 5].astype(jnp.int32), 0), vuv)
+        prdr = jnp.broadcast_to(prd[:, None, :],
+                                (k, K_CAP, 3)).reshape(-1, 3)
+        fr, _ = bsdf_mod.eval_bsdf(vmat, vdir, -prdr, vnor, vdpdu,
+                                   static.material_types)
+        fr_ok = ~is_black(fr) & jnp.all(jnp.isfinite(fr), axis=-1)
+        take = near & fr_ok
+        w = blen.astype(jnp.float32) \
+            / jnp.maximum(sel, 1).astype(jnp.float32)
+        wr = jnp.broadcast_to(w[:, None], (k, K_CAP)).reshape(-1)
+        pbetar = jnp.broadcast_to(pbeta[:, None, :],
+                                  (k, K_CAP, 3)).reshape(-1, 3)
+        contrib = jnp.where(take[:, None], fr * pbetar * wr[:, None], 0.0)
+        row = jnp.concatenate(
+            [contrib, jnp.where(take, wr, 0.0)[:, None],
+             jnp.zeros((k * K_CAP, 4), jnp.float32)], axis=1)
+        return acc8.at[flat].add(row)
 
     rng = RngStream(jax.random.fold_in(key, 0))
     u_pick = rng.uniform((n,))
@@ -327,11 +415,11 @@ def photon_pass(scene, static, key, state: SppmState, grid, n_photons,
     beta = radiance * (jnp.abs(dot(rd, l_nor)) / denom)[:, None]
     alive = jnp.ones(n, bool) & (static.n_lights > 0)
 
-    phi = jnp.zeros((n_vp, 3), jnp.float32)
-    m = jnp.zeros(n_vp, jnp.float32)
+    acc8 = jnp.zeros((n_vp, 8), jnp.float32)  # phi(3) m pad(4): one
+    # x8 scatter-add target (x3/x1 scatters are in the slow width class)
 
     def bounce(carry, bounce_idx):
-        ro, rd, beta, alive, phi, m = carry
+        ro, rd, beta, alive, acc8 = carry
         rng = RngStream(jax.random.fold_in(key, 100 + bounce_idx))
 
         hit = traverse.intersect_closest(
@@ -349,96 +437,35 @@ def photon_pass(scene, static, key, state: SppmState, grid, n_photons,
         end = jnp.take(bucket_start, jnp.where(depositing, hcell + 1, 0))
         end = jnp.where(depositing, end, start)
 
-        # Bucket walk in CHUNK-wide vectorized steps: the lockstep bound
-        # is the largest bucket in the grid (thousands of entries when the
-        # radius is large relative to the scene), so each step gathers
-        # CHUNK entries per photon and evaluates them as extra lanes —
-        # same total pair work, CHUNK x fewer sequential iterations.
-        CHUNK = 32
-        lane_off = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+        # Photons argsorted by bucket length (2-operand argsort — wider
+        # sorts explode XLA:TPU compile time), then the dense capped
+        # deposit runs on cond-gated prefix slices: bounces where few
+        # photons deposit (bounce 0, post-RR) skip most of the gathers.
+        blen = jnp.maximum(end - start, 0)
+        u_off = rng.uniform((n,))
+        order = jnp.argsort(-blen)
+        packed = jnp.concatenate(
+            [hit.pos, rd, beta,
+             start.astype(jnp.float32)[:, None],
+             end.astype(jnp.float32)[:, None],
+             u_off[:, None],
+             jnp.zeros((n, 20), jnp.float32)], axis=1)  # pad to 32:
+        # row-gather throughput is layout-capricious (x16 slow,
+        # x32 fast — see CLAUDE.md)
+        nonzero = jnp.sum((blen > 0).astype(jnp.int32))
+        sizes = [n // 8, n // 8, n // 4]
+        sizes.append(n - sum(sizes))
+        s0 = 0
+        for size in sizes:
+            if size <= 0:
+                continue
+            sel = jax.lax.dynamic_slice_in_dim(order, s0, size)
 
-        def bucket_walk(ppos0, prd0, pbeta0, start, end, phi, m):
-            """All VP pairs for one photon batch; deposits into phi/m."""
-            def cond(s):
-                j, phi, m = s
-                return jnp.any(start + j < end)
+            def run(a8, sel=sel):
+                return _dense_deposit(jnp.take(packed, sel, axis=0), a8)
 
-            def body(s):
-                j, phi, m = s
-                idx = start[:, None] + j + lane_off      # [k, CHUNK]
-                lane_ok = idx < end[:, None]
-                entry = jnp.take(sorted_vp,
-                                 jnp.clip(idx, 0, sorted_vp.shape[0] - 1))
-                vp = jnp.maximum(entry, 0)               # [k, CHUNK]
-                flat = vp.reshape(-1)
-                vpos = jnp.take(state.pos, flat, axis=0)
-                vnor = jnp.take(state.nor, flat, axis=0)
-                vdpdu = jnp.take(state.dpdu, flat, axis=0)
-                vuv = jnp.take(state.uv, flat, axis=0)
-                vdir = jnp.take(state.dir, flat, axis=0)
-                vrad = jnp.take(state.radius, flat)
-                vvalid = jnp.take(state.valid, flat)
-                ppos = jnp.repeat(ppos0, CHUNK, axis=0)
-                prd = jnp.repeat(prd0, CHUNK, axis=0)
-                pbeta = jnp.repeat(pbeta0, CHUNK, axis=0)
-                d = ppos - vpos
-                near = dot(d, d) <= vrad * vrad
-                vmat = bsdf_mod.gather_materials(
-                    scene, static, jnp.take(state.mat_idx, flat), vuv)
-                fr, _ = bsdf_mod.eval_bsdf(
-                    vmat, vdir, -prd, vnor, vdpdu, static.material_types)
-                fr_ok = ~is_black(fr) & jnp.all(jnp.isfinite(fr), axis=-1)
-                take = lane_ok.reshape(-1) & vvalid & near & fr_ok
-                contrib = jnp.where(take[:, None], fr * pbeta, 0.0)
-                tgt = jnp.where(take, flat, n_vp - 1)
-                phi = phi.at[tgt].add(contrib)
-                m = m.at[tgt].add(jnp.where(take, 1.0, 0.0))
-                return j + CHUNK, phi, m
-
-            _, phi, m = jax.lax.while_loop(
-                cond, body, (jnp.zeros((), jnp.int32), phi, m))
-            return phi, m
-
-        if jax.default_backend() != "tpu":
-            phi, m = bucket_walk(hit.pos, rd, beta, start, end, phi, m)
-        else:
-            # Photon compaction: the lockstep walk is bounded by the
-            # LARGEST bucket while every photon burns CHUNK lanes per
-            # step — on the watchdog-limited TPU the full-batch form was
-            # minutes per pass (device timeout). Sort photons by bucket
-            # length (2-operand argsort — wider sorts explode XLA:TPU
-            # compile time) and run the walk on cond-gated prefix
-            # slices: the deep walk happens on n/8 lanes, the rest exit
-            # in a few steps. Deposits are VP-indexed scatter-adds, so
-            # photon order never matters and no un-permute is needed.
-            blen = jnp.maximum(end - start, 0)
-            order = jnp.argsort(-blen)
-            packed = jnp.concatenate(
-                [hit.pos, rd, beta,
-                 start.astype(jnp.float32)[:, None],
-                 end.astype(jnp.float32)[:, None],
-                 jnp.zeros((n, 21), jnp.float32)], axis=1)  # pad to 32:
-            # row-gather throughput is layout-capricious (x16 slow,
-            # x32 fast — see CLAUDE.md)
-            nonzero = jnp.sum((blen > 0).astype(jnp.int32))
-            sizes = [n // 8]
-            sizes.append(n - sizes[0])
-            s0 = 0
-            for size in sizes:
-                if size <= 0:
-                    continue
-                sel = jax.lax.dynamic_slice_in_dim(order, s0, size)
-
-                def run(pm, sel=sel):
-                    sp = jnp.take(packed, sel, axis=0)
-                    return bucket_walk(
-                        sp[:, 0:3], sp[:, 3:6], sp[:, 6:9],
-                        sp[:, 9].astype(jnp.int32),
-                        sp[:, 10].astype(jnp.int32), pm[0], pm[1])
-
-                phi, m = jax.lax.cond(nonzero > s0, run,
-                                      lambda pm: pm, (phi, m))
-                s0 += size
+            acc8 = jax.lax.cond(nonzero > s0, run, lambda a8: a8, acc8)
+            s0 += size
 
         # ---- scatter onward (Importance mode, cu:2264-2279) ------------
         mat = bsdf_mod.gather_materials(scene, static, hit.mat_idx, hit.uv)
@@ -460,11 +487,12 @@ def photon_pass(scene, static, key, state: SppmState, grid, n_photons,
         scale = 1.0 / jnp.maximum(1.0 - illumate, 1e-30)
         beta = jnp.where((do_rr & alive)[:, None], beta * scale[:, None],
                          beta)
-        return (ro, rd, beta, alive, phi, m), None
+        return (ro, rd, beta, alive, acc8), None
 
-    carry = (ro, rd, beta, alive, phi, m)
+    carry = (ro, rd, beta, alive, acc8)
     carry, _ = jax.lax.scan(bounce, carry, jnp.arange(static.max_depth))
-    return carry[4], carry[5]
+    acc8 = carry[4]
+    return acc8[:, 0:3], acc8[:, 3]
 
 
 def density_pass(state: SppmState, phi, m, iteration, n_photons):

@@ -53,6 +53,11 @@ def save_checkpoint(renderer, path: str) -> None:
         for name in ("beta", "dir", "pos", "nor", "uv", "dpdu", "mat_idx",
                      "pdf0", "count"):
             payload[f"vpl_{name}"] = np.asarray(getattr(v, name))
+    if renderer.kind == "mlt" and renderer._mlt_state is not None:
+        # full Markov-chain state: without it a resumed MLT render would
+        # silently restart its chains against a stale film
+        for name, arr in renderer._mlt_state.items():
+            payload[f"mlt_{name}"] = np.asarray(arr)
     np.savez_compressed(path, **payload)
 
 
@@ -80,3 +85,8 @@ def load_checkpoint(renderer, path: str) -> None:
             name: jnp.asarray(data[f"vpl_{name}"])
             for name in ("beta", "dir", "pos", "nor", "uv", "dpdu",
                          "mat_idx", "pdf0", "count")})
+    if renderer.kind == "mlt" and "mlt_u" in data:
+        renderer._mlt_state = renderer._place_mlt_state({
+            name: jnp.asarray(data[f"mlt_{name}"])
+            for name in ("u", "lum", "li", "px", "py", "film",
+                         "b_sum", "b_cnt", "steps")})

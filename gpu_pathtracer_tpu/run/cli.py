@@ -23,7 +23,8 @@ def main(argv=None):
     ap.add_argument("--tile", type=int, default=1 << 16)
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--integrator", default=None,
-                    choices=["ao", "pt", "vpt", "lt", "bdpt", "sppm", "ir"],
+                    choices=["ao", "pt", "vpt", "lt", "bdpt", "sppm", "ir",
+                             "mlt"],
                     help="override the scene's integrator")
     ap.add_argument("--checkpoint", default=None,
                     help="npz render checkpoint: resumed from if it "

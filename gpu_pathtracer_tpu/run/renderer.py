@@ -189,9 +189,41 @@ class Renderer:
             self._mlt_boot = jax.jit(functools.partial(
                 mlt_mod.bootstrap, static=static, n_chains=n))
 
+            if mesh is not None:
+                # chains shard over the mesh: u is [D, N] (lanes on axis
+                # 1), lum/li/px/py are lane-major, film + the b statistics
+                # are the cross-device reduction targets (replicated)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from gpu_pathtracer_tpu.parallel import dist as dist_mod
+
+                def _mlt_spec(name, a):
+                    if name == "u":
+                        return P(None, "lanes")
+                    if name in ("lum", "li", "px", "py"):
+                        return dist_mod.lane_spec(a.ndim)
+                    return P()
+
+                def place_mlt(state):
+                    return {k: jax.device_put(
+                        v, NamedSharding(mesh, _mlt_spec(k, v)))
+                        for k, v in state.items()}
+
+                def c_mlt(state):
+                    return {k: jax.lax.with_sharding_constraint(
+                        v, NamedSharding(mesh, _mlt_spec(k, v)))
+                        for k, v in state.items()}
+            else:
+                def place_mlt(state):
+                    return state
+
+                def c_mlt(state):
+                    return state
+            self._place_mlt_state = place_mlt
+
             @jax.jit
             def mlt_step(dscene, state, key):
-                return program(dscene, static, key, state)
+                state, film = program(dscene, static, key, c_mlt(state))
+                return c_mlt(state), c_rep(film)
 
             self._mlt_step = mlt_step
             return
@@ -353,8 +385,8 @@ class Renderer:
         if self.kind == "mlt":
             key = iteration_key(self.seed, jnp.int32(self.iteration))
             if self._mlt_state is None:
-                self._mlt_state = self._mlt_boot(
-                    self.device_scene, key=jax.random.fold_in(key, 999))
+                self._mlt_state = self._place_mlt_state(self._mlt_boot(
+                    self.device_scene, key=jax.random.fold_in(key, 999)))
             self._mlt_state, film = self._mlt_step(
                 self.device_scene, self._mlt_state, key)
             self.acc = film  # absolute estimate (b-normalized)

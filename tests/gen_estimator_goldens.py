@@ -28,7 +28,7 @@ sys.path.insert(0, str(REPO))
 SIZE = 24
 SPP = 32
 SCENE = "/root/reference/scenes/cornell_box/scene.json"
-INTEGRATORS = ["pt", "vpt", "lt", "bdpt", "sppm", "ir"]
+INTEGRATORS = ["pt", "vpt", "lt", "bdpt", "sppm", "ir", "mlt"]
 
 
 def render_one(name):

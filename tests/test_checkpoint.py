@@ -24,7 +24,8 @@ def _scene(size=16):
     return s
 
 
-@pytest.mark.parametrize("integ", [IntegratorType.PT, IntegratorType.SPPM])
+@pytest.mark.parametrize("integ", [IntegratorType.PT, IntegratorType.SPPM,
+                                   IntegratorType.MLT])
 def test_resume_bit_equal(tmp_path, integ):
     ck = str(tmp_path / "ck.npz")
 

@@ -127,6 +127,16 @@ def test_renderer_shard_ir(cornell_scene):
     np.testing.assert_array_equal(a, b)
 
 
+def test_renderer_shard_mlt(cornell_scene):
+    """mlt kind: chain state sharded over the mesh (u on axis 1,
+    lum/li/px/py lane-major), film + b statistics replicated. Same keys,
+    same chains — only the film scatter-add reduction order may differ."""
+    a, b = _renderer_pair(cornell_scene, IntegratorType.MLT, iters=3)
+    assert np.isfinite(b).all()
+    assert b.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_replicated_scene_no_lane_dependence(small_scene):
     """The scene pytree must be placement-invariant: replicate() then a
     trivial reduction equals the host value."""

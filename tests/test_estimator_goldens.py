@@ -19,7 +19,7 @@ SIZE = 24
 SPP = 32
 SCENE = "/root/reference/scenes/cornell_box/scene.json"
 
-INTEGRATORS = ["pt", "vpt", "lt", "bdpt", "sppm", "ir"]
+INTEGRATORS = ["pt", "vpt", "lt", "bdpt", "sppm", "ir", "mlt"]
 
 
 @pytest.mark.parametrize("name", INTEGRATORS)
