@@ -47,6 +47,12 @@ from gpu_pathtracer_tpu.shade import media as media_mod
 
 INTERFACE_BUDGET = 8
 
+# Trace-time knockout set for the in-jit cost anatomy
+# (tools/bench_bdpt_anatomy.py): members of {"tr", "mis", "s1", "t0",
+# "t1", "gen", "connect"} disable that term of render_lanes. Only the
+# anatomy harness mutates this; production traces see the empty set.
+KNOCK: frozenset = frozenset()
+
 
 @struct.dataclass
 class Vertices:
@@ -548,7 +554,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
 
         # ---- one shadow ray (t0 connects along an existing segment, so
         # its tr was the original's constant 1 — a no-op multiply) -------
-        if case != "t0":
+        if case != "t0" and "tr" not in KNOCK:
             tr = media_mod.transmittance(
                 scene, static, sh_med, sh_o, sh_d,
                 jnp.where(case_valid, sh_t, 0.0),
@@ -557,8 +563,11 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             Lpre = Lpre * tr
 
         # ---- contribution + MIS -----------------------------------------
-        mis = _mis_weight(cam_v, light_v, s, t, c1_rev, c2_rev,
-                          l1_rev, l2_rev, l0_fwd)
+        if "mis" in KNOCK:
+            mis = jnp.full(n, 0.5, jnp.float32)
+        else:
+            mis = _mis_weight(cam_v, light_v, s, t, c1_rev, c2_rev,
+                              l1_rev, l2_rev, l0_fwd)
         L = Lpre * mis[:, None]
 
         ok = case_valid & jnp.all(jnp.isfinite(L), axis=-1) & ~is_black(L)
@@ -587,20 +596,25 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
         return body
 
     carry = (li, film)
-    carry = jax.lax.fori_loop(
-        0, n_verts - 1, run_case("s1", lambda i: i * 0 + 1,
-                                 lambda i: i + 2), carry)
-    if n_verts >= 2:
+    skip_all = "connect" in KNOCK
+    if not (skip_all or "s1" in KNOCK):
         carry = jax.lax.fori_loop(
-            0, n_verts - 1, run_case("t0", lambda i: i + 2,
-                                     lambda i: i * 0), carry)
-        carry = jax.lax.fori_loop(
-            0, n_verts - 1, run_case("t1", lambda i: i + 2,
-                                     lambda i: i * 0 + 1), carry)
-        carry = jax.lax.fori_loop(
-            0, (n_verts - 1) * (n_verts - 1),
-            run_case("gen", lambda i: i // (n_verts - 1) + 2,
-                     lambda i: i % (n_verts - 1) + 2), carry)
+            0, n_verts - 1, run_case("s1", lambda i: i * 0 + 1,
+                                     lambda i: i + 2), carry)
+    if n_verts >= 2 and not skip_all:
+        if "t0" not in KNOCK:
+            carry = jax.lax.fori_loop(
+                0, n_verts - 1, run_case("t0", lambda i: i + 2,
+                                         lambda i: i * 0), carry)
+        if "t1" not in KNOCK:
+            carry = jax.lax.fori_loop(
+                0, n_verts - 1, run_case("t1", lambda i: i + 2,
+                                         lambda i: i * 0 + 1), carry)
+        if "gen" not in KNOCK:
+            carry = jax.lax.fori_loop(
+                0, (n_verts - 1) * (n_verts - 1),
+                run_case("gen", lambda i: i // (n_verts - 1) + 2,
+                         lambda i: i % (n_verts - 1) + 2), carry)
     li, film = carry
 
     bad = jnp.any(~jnp.isfinite(li), axis=-1)
