@@ -13,6 +13,7 @@ many instances) or per-iteration kernel cost?
 """
 import os, sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PTPU_FORCE_INSTANCING", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -61,6 +62,21 @@ class ITree:
         self.root = aux[:, 12].astype(np.int64)
         self.base = aux[:, 13].astype(np.int64)
 
+    def inst_bounds(self):
+        """World AABB per instance from the TLAS rows' instance slots."""
+        ib_min = np.full((self.n_inst, 3), np.inf)
+        ib_max = np.full((self.n_inst, 3), -np.inf)
+        # TLAS rows live at rows [0, tlas_rows); instance slots have
+        # negative meta -(i+1)
+        for k in range(self.tlas_rows):
+            for c in range(8):
+                mt = self.meta[k, c]
+                if mt < 0:
+                    i = -mt - 1
+                    ib_min[i] = self.bxmin[k, c]
+                    ib_max[i] = self.bxmax[k, c]
+        return ib_min, ib_max
+
     def xform_rays(self, ro, rd):
         """[n_inst, W, 3] transformed origins/dirs (t world-invariant)."""
         ros, rds = [], []
@@ -97,6 +113,65 @@ class ITree:
         ok &= (b1 >= 0) & (b1 <= 1) & (b2 >= 0) & (b1 + b2 <= 1) \
             & (tt >= 1e-3) & valid
         return np.where(ok, tt, np.inf).min(-1)
+
+
+def walk_packet_instmajor(tree, ro, rd, nn=4, nl=4):
+    """Instance-major policy: test all instance world boxes once, pop
+    instances near-first, walk each instance's BLAS to completion with
+    the flat-walk body, and skip whole instances whose packet-min entry
+    distance exceeds the packet-max best_t at pop time.
+
+    Iteration model: each instance switch costs `switch_cost` iterations
+    (ray transform + stack reset ~ one row-test round); inner iterations
+    cost the FLAT body (that's the kernel-engineering win)."""
+    W = ro.shape[0]
+    xro, xrd = tree.xform_rays(ro, rd)
+    xinv = 1.0 / np.where(np.abs(xrd) > 1e-20, xrd,
+                          np.where(xrd >= 0, 1e-20, -1e-20))
+    best = np.full(W, np.inf)
+    s = dict(iters=0, node_pops=0, leaf_pops=0, switches=0, pruned=0)
+
+    # instance boxes in WORLD space: slab test per instance
+    ib_min, ib_max = tree.inst_bounds()
+    inv_w = 1.0 / np.where(np.abs(rd) > 1e-20, rd,
+                           np.where(rd >= 0, 1e-20, -1e-20))
+    ent = []
+    for i in range(tree.n_inst):
+        t1 = (ib_min[i][None] - ro) * inv_w
+        t2 = (ib_max[i][None] - ro) * inv_w
+        tn = np.minimum(t1, t2).max(-1)
+        tf = np.maximum(t1, t2).min(-1)
+        hit = (tf > 1e-5) & (tn <= tf)
+        if hit.any():
+            ent.append((tn[hit].min(), i))
+    ent.sort()   # near first
+
+    for d_ent, i in ent:
+        if d_ent > best.max():
+            s["pruned"] += 1
+            continue
+        s["switches"] += 1
+        nstack, lstack = [int(tree.root[i])], []
+        while nstack or lstack:
+            s["iters"] += 1
+            pops_n = [nstack.pop() for _ in range(min(nn, len(nstack)))]
+            pops_l = [lstack.pop() for _ in range(min(nl, len(lstack)))]
+            pushes = []
+            for nr in pops_n:
+                s["node_pops"] += 1
+                tn, hit = tree.slab(nr, i, xro, xinv, best)
+                for c in range(8):
+                    mt = tree.meta[nr, c]
+                    if mt != 0 and hit[:, c].any():
+                        pushes.append((tn[hit[:, c], c].min(), int(mt)))
+            pushes.sort(key=lambda x: -x[0])
+            for _, mt in pushes:
+                (nstack if mt > 0 else lstack).append(
+                    mt if mt > 0 else -mt - tree.n8)
+            for lr in pops_l:
+                s["leaf_pops"] += 1
+                best = np.minimum(best, tree.leaf_t(lr, i, xro, xrd))
+    return s, best
 
 
 def walk_packet(tree, ro, rd, nn=4, nl=4):
@@ -154,19 +229,30 @@ def run_set(tree, ro, rd, label, W=256, nn=4, nl=4, sample=32):
     npk = n // W
     sel = np.linspace(0, npk - 1, min(sample, npk)).astype(int)
     tot = None
+    tot_im = None
     irows = np.zeros(tree.n_inst, np.int64)
     for p in sel:
         st, _, ir = walk_packet(tree, ro[p * W:(p + 1) * W],
                                 rd[p * W:(p + 1) * W], nn=nn, nl=nl)
         irows += ir
         tot = st if tot is None else {k: tot[k] + st[k] for k in st}
+        st2, _ = walk_packet_instmajor(
+            tree, ro[p * W:(p + 1) * W], rd[p * W:(p + 1) * W],
+            nn=nn, nl=nl)
+        tot_im = st2 if tot_im is None else \
+            {k: tot_im[k] + st2[k] for k in st2}
     m = {k: v / len(sel) for k, v in tot.items()}
+    mi = {k: v / len(sel) for k, v in tot_im.items()}
     print(f"  {label:22s} W={W:5d} nn={nn} nl={nl}: "
           f"{m['iters']:7.1f} it  node {m['node_pops']:6.1f} "
           f"(tlas {m['tlas_pops']:5.1f})  leaf {m['leaf_pops']:6.1f}  "
           f"inst touched {m['inst_touched']:4.1f} "
           f"max-rows/inst {m['max_inst_rows']:6.1f}", flush=True)
     print(f"    rows/instance: {(irows / len(sel)).round(1)}", flush=True)
+    print(f"    INSTANCE-MAJOR: {mi['iters']:7.1f} it  "
+          f"node {mi['node_pops']:6.1f}  leaf {mi['leaf_pops']:6.1f}  "
+          f"switches {mi['switches']:4.1f}  pruned {mi['pruned']:4.1f}",
+          flush=True)
     return m
 
 
@@ -203,6 +289,16 @@ def main():
     bro, brd = bro[:m], brd[:m]
     print("== bounce sortkey")
     run_set(tree, bro, brd, "bounce sortkey")
+
+    # the EXACT 'random sortkey' set of tools/bench_walkcost.py, so a
+    # TPU time / sim-iteration division yields the per-iteration cost
+    rs = np.random.RandomState(7)
+    rro = rs.uniform(-0.9, 0.9, (n, 3)) + np.array([0.0, 1.0, 0.0])
+    rrd = rs.normal(size=(n, 3))
+    rrd /= np.linalg.norm(rrd, axis=-1, keepdims=True)
+    p = np.argsort(sort_key(rro, rrd, wc, wr), kind="stable")
+    print("== random sortkey (bench_walkcost set)")
+    run_set(tree, rro[p], rrd[p], "random sortkey")
 
 
 if __name__ == "__main__":
