@@ -45,7 +45,10 @@ from gpu_pathtracer_tpu.geom import bvh8 as bvh8_mod
 INST_STRIDE = 2048
 MAX_INSTANCES = 64      # per-instance ray scratch is VMEM-resident
 MIN_INSTANCED_PRIMS = 1024   # don't bother instancing tiny meshes
-AUX_COLS = 16           # aux row: 12 xform + root row + base + pad
+AUX_COLS = 20           # aux row: 12 xform + root row + base
+                        # + world bbox min (14:17) / max (17:20) — the
+                        # instance-major walk slab-tests instances from
+                        # these instead of popping TLAS rows
 
 
 @dataclasses.dataclass
@@ -289,10 +292,12 @@ def build_instanced_table(plan: InstancePlan, dense_records: np.ndarray,
         lc = leaf_counts[m]
         table[lb:lb + lc] = tab_m[n8_m:n8_m + lc]
 
-    # aux: 12 xform floats, BLAS root row, slot base
+    # aux: 12 xform floats, BLAS root row, slot base, world bbox
     aux = np.zeros((n_inst, AUX_COLS), np.float32)
     aux[:, 0:12] = plan.xform
     for i in range(n_inst):
         aux[i, 12] = node_base[plan.mesh_of[i]]
         aux[i, 13] = plan.base[i]
+    aux[:, 14:17] = ib_min
+    aux[:, 17:20] = ib_max
     return table, n8_total, aux, T

@@ -24,13 +24,18 @@ enable_compile_cache()
 
 R = 836352        # oct-table rows for the 100x100x40 cornell grid (+border)
 M = 1 << 20       # gathered rows per rep (~1 candidate per lane x 4 chunks)
-K = 8
+K = 64
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
-def gather_loop(tab, idx0, w):
+def gather_loop(tab, idx0, rep, w):
+    # `rep` varies per timed call: identical jit calls through the tunnel
+    # can be served from a RESULT cache (CLAUDE.md measurement traps).
+    # Each step's indices depend on the previous step's sum, so the K
+    # gathers are serially dependent — nothing can overlap or fold.
     def step(acc, k):
-        idx = (idx0 + k * 977) % R
+        idx = (idx0 + (k + rep) * 977
+               + acc.astype(jnp.int32) % 3) % R
         v = jnp.take(tab, idx, axis=0)
         return acc + jnp.sum(v, dtype=jnp.float32), 0
 
@@ -49,12 +54,13 @@ def main():
         16: jnp.asarray(rs.rand(R, 16).astype(np.float32)),
     }
     for w, tab in tabs.items():
-        jax.block_until_ready(gather_loop(tab, idx0, w))
+        jax.block_until_ready(gather_loop(tab, idx0, jnp.int32(0), w))
     best = {}
-    for _ in range(5):
+    for r in range(5):
         for w, tab in tabs.items():
             t0 = time.perf_counter()
-            jax.block_until_ready(gather_loop(tab, idx0, w))
+            jax.block_until_ready(gather_loop(tab, idx0,
+                                              jnp.int32(1 + r), w))
             dt = (time.perf_counter() - t0) / K
             best[w] = min(best.get(w, 1e9), dt)
     for w, dt in sorted(best.items()):
