@@ -127,8 +127,15 @@ class DeviceScene:
     med_density_pairs: jnp.ndarray  # [K, Dz, Dy, Dx, 2] f32
     # all 8 trilinear corners packed per cell (1-cell zero border), so one
     # row gather serves a whole tap — the batched tracking estimators'
-    # innermost memory op. [K, Dz+1, Dy+1, Dx+1, 8]
-    med_density_oct: jnp.ndarray
+    # innermost memory op. bf16-PAIR-packed: carrier c holds corner 2c in
+    # its high 16 bits and corner 2c+1 in the low 16 (mantissa TRUNCATED,
+    # i.e. rounded toward zero, so the decoded density never exceeds the
+    # supervoxel majorants computed from the f32 grid). Width 4 instead
+    # of 8 because the TPU row gather is BYTE-bound above width 4
+    # (tools/bench_density_gather.py: 6.15 ms vs 15.25 ms per 1M rows) and
+    # this gather is ~90% of a transmittance call (README knockout).
+    # [K, Dz+1, Dy+1, Dx+1, 4] f32 carriers
+    med_density_oct4: jnp.ndarray
     # supervoxel majorant grid (SV^3 cells, dilated by one fine cell for
     # the trilinear support), oct-packed like med_density_oct so a 2x2x2
     # neighborhood max is one row fetch. [K, SV+1, SV+1, SV+1, 8]
@@ -277,6 +284,19 @@ def _oct_pack(med_density: np.ndarray) -> np.ndarray:
                                  ox:ox + Dx + 1]
                 c += 1
     return oct_
+
+
+def _pack_bf16_pairs(oct_: np.ndarray) -> np.ndarray:
+    """[..., 8] f32 -> [..., 4] f32 carriers: value 2c TRUNCATED to bf16
+    in the high 16 bits of carrier c, value 2c+1 in the low 16. Mantissa
+    truncation rounds non-negative densities toward zero, so the decoded
+    value never exceeds the f32 it came from — the supervoxel majorants
+    (computed from the f32 grid) stay valid bounds and the null-collision
+    weights in shade/media.py stay non-negative."""
+    u = np.ascontiguousarray(oct_, np.float32).view(np.uint32)
+    hi = u[..., 0::2] & np.uint32(0xFFFF0000)
+    lo = u[..., 1::2] >> np.uint32(16)
+    return (hi | lo).view(np.float32)
 
 
 SV = 24  # supervoxel grid resolution per axis. Tightness matters: on the
@@ -789,7 +809,8 @@ def flatten_scene(scene: HostScene, cache: bool = True
         med_sigma_a=jnp.asarray(med_sa), med_sigma_s=jnp.asarray(med_ss),
         med_sigma_t=jnp.asarray(med_sa + med_ss),
         med_density=jnp.asarray(med_density),
-        med_density_oct=jnp.asarray(_oct_pack(med_density)),
+        med_density_oct4=jnp.asarray(_pack_bf16_pairs(
+            _oct_pack(med_density))),
         med_sv_oct=jnp.asarray(_oct_pack(_sv_majorants(
             med_density, med_n))),
         med_sv_max=jnp.asarray(_oct_pack(_sv_majorants(
