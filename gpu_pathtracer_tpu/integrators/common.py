@@ -18,6 +18,15 @@ from gpu_pathtracer_tpu.shade import bsdf as bsdf_mod
 from gpu_pathtracer_tpu.shade import camera as camera_mod
 from gpu_pathtracer_tpu.shade import lights as lights_mod
 
+# Trace-time knockout set for in-jit cost anatomy (tools/
+# bench_pt_anatomy.py — same pattern as integrators/bdpt.py::KNOCK).
+# Members: "nee_walk" (NEE occlusion walk skipped, tr=1), "nee" (whole
+# NEE branch, read by pt.py), "sort" (wavefront coherence sorts, read by
+# pt.py); vpt.py reads "msample" (medium distance sampling), "tr_scatter"
+# (in-scatter NEE Tr), "tr_surf" (surface NEE Tr), "tr_seg" (emitter
+# full-credit segment Tr). Never set in production paths.
+KNOCK: frozenset = frozenset()
+
 
 def primary_rays(scene, static, rng: RngStream, pixel_x, pixel_y):
     """Jittered primary rays with aperture samples (pathtracer.cu:892-897)."""
@@ -66,9 +75,10 @@ def direct_light_nee(scene, static, rng: RngStream, pos, nor, dpdu,
         rad, sd, st, light_pdf = rad_a, sd_a, st_a, pdf_a
 
     cand = active & ~is_black(rad) & (light_pdf > 0.0)
-    occluded = traverse.intersect_any(
-        scene, static, pos, sd, eps, jnp.where(cand, st, 0.0))
-    cand &= ~occluded
+    if "nee_walk" not in KNOCK:
+        occluded = traverse.intersect_any(
+            scene, static, pos, sd, eps, jnp.where(cand, st, 0.0))
+        cand &= ~occluded
 
     fr, sample_pdf = bsdf_mod.eval_bsdf(
         mat, wi, sd, nor, dpdu, static.material_types)

@@ -31,6 +31,7 @@ from gpu_pathtracer_tpu.core.rng import RngStream
 from gpu_pathtracer_tpu.core.sampling import power_heuristic
 from gpu_pathtracer_tpu.core.vecmath import dot, is_black, luminance
 from gpu_pathtracer_tpu.geom import traverse
+from gpu_pathtracer_tpu.integrators import common
 from gpu_pathtracer_tpu.integrators.common import (
     direct_light_nee, primary_rays,
 )
@@ -131,7 +132,8 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False,
     eps = scene.epsilon
     # lane shuffling is only worth it when traversal cares about
     # coherence (block-culled / packet paths); dense scenes skip it
-    do_sort = static.n_primitives > DENSE_MAX
+    do_sort = static.n_primitives > DENSE_MAX \
+        and "sort" not in common.KNOCK
     if psample is not None:
         assert not do_sort, \
             "PSSMLT requires the unsorted dense-regime wavefront"
@@ -204,9 +206,10 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, with_stats=False,
         not_delta = ~bsdf_mod.is_delta(mat.type)
 
         # NEE light-sample branch (pathtracer.cu:925-951)
-        ld = direct_light_nee(scene, static, rng, hit.pos, hit.nor,
-                              hit.dpdu, mat, wi, alive & not_delta)
-        li += beta * ld
+        if "nee" not in common.KNOCK:
+            ld = direct_light_nee(scene, static, rng, hit.pos, hit.nor,
+                                  hit.dpdu, mat, wi, alive & not_delta)
+            li += beta * ld
 
         # one BSDF sample: continuation + MIS pdf (pathtracer.cu:997-1008)
         u1, u2, u3 = rng.uniform3((n,))

@@ -37,6 +37,7 @@ from gpu_pathtracer_tpu.core.rng import RngStream
 from gpu_pathtracer_tpu.core.sampling import power_heuristic
 from gpu_pathtracer_tpu.core.vecmath import dot, is_black, luminance
 from gpu_pathtracer_tpu.geom import traverse
+from gpu_pathtracer_tpu.integrators import common
 from gpu_pathtracer_tpu.integrators.common import primary_rays
 from gpu_pathtracer_tpu.shade import bsdf as bsdf_mod
 from gpu_pathtracer_tpu.shade import lights as lights_mod
@@ -90,9 +91,12 @@ def _direct_light_vol(scene, static, rng, key, pos, nor, dpdu, mat, wi,
     cand = active & ~is_black(rad) & (light_pdf > 0.0)
     fr, sample_pdf = bsdf_mod.eval_bsdf(
         mat, wi, sd, nor, dpdu, static.material_types)
-    tr = media_mod.transmittance(
-        scene, static, med_idx, pos, sd,
-        jnp.where(cand, st, 0.0), jax.random.fold_in(key, 101), cand)
+    if "tr_surf" in common.KNOCK:
+        tr = jnp.ones((n, 3), jnp.float32)
+    else:
+        tr = media_mod.transmittance(
+            scene, static, med_idx, pos, sd,
+            jnp.where(cand, st, 0.0), jax.random.fold_in(key, 101), cand)
     weight = power_heuristic(1, light_pdf * choice_pdf, 1, sample_pdf)
     denom = jnp.maximum(light_pdf * choice_pdf, 1e-30)
     contrib = weight[:, None] * tr * fr * rad * \
@@ -146,7 +150,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
         alive &= hit.valid
 
         # medium distance sampling over [0, hit.t] (pathtracer.cu:1062-1070)
-        if static.has_media:
+        if static.has_media and "msample" not in common.KNOCK:
             weight, t_med, sampled = media_mod.medium_sample(
                 scene, static, med, ro, rd, hit.t,
                 jax.random.fold_in(skey, 1), alive)
@@ -168,10 +172,13 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
             rad, sd, st, light_pdf, choice_pdf = _sample_light_toward(
                 scene, static, rng, sample_pos)
             cand = in_scatter & ~is_black(rad) & (light_pdf > 0.0)
-            tr = media_mod.transmittance(
-                scene, static, med, sample_pos, sd,
-                jnp.where(cand, st, 0.0),
-                jax.random.fold_in(skey, 2), cand)
+            if "tr_scatter" in common.KNOCK:
+                tr = jnp.ones((n, 3), jnp.float32)
+            else:
+                tr = media_mod.transmittance(
+                    scene, static, med, sample_pos, sd,
+                    jnp.where(cand, st, 0.0),
+                    jax.random.fold_in(skey, 2), cand)
             ph = media_mod.phase(scene, med, -rd, sd)
             denom = jnp.maximum(light_pdf * choice_pdf, 1e-30)
             contrib = tr * beta * (ph / denom)[:, None] * rad
@@ -199,7 +206,8 @@ def render_lanes(scene, static, key, pixel_x, pixel_y):
                 scene, static, med, ro, rd,
                 jnp.where(emitter & full, hit.t, 0.0),
                 jax.random.fold_in(skey, 3), emitter & full) \
-                if static.has_media else jnp.ones((n, 3))
+                if static.has_media and "tr_seg" not in common.KNOCK \
+                else jnp.ones((n, 3))
             li += jnp.where((emitter & full)[:, None],
                             tr_e * beta * le, 0.0)
             pdf_area, _ = lights_mod.area_light_pdf(

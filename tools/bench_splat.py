@@ -24,14 +24,16 @@ K = 32
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
-def splat_loop(idx0, contrib, w):
+def splat_loop(idx0, contrib, rep, w):
+    # `rep` varies per timed call: identical jit calls through the
+    # tunnel can be served from a RESULT cache (CLAUDE.md traps).
     film = jnp.zeros((N, w), jnp.float32)
     c = contrib if w == 3 else jnp.concatenate(
         [contrib, jnp.zeros((N, w - 3), jnp.float32)], axis=1)
 
     def step(film, k):
         # fold k into the indices so no two iterations are identical
-        idx = (idx0 + k) % N
+        idx = (idx0 + k + rep * 7) % N
         return film.at[idx].add(c), 0
 
     film, _ = jax.lax.scan(step, film, jnp.arange(K, dtype=jnp.int32))
@@ -45,16 +47,18 @@ def main():
 
     ref = None
     for w in (3, 8, 4):
-        out = jax.block_until_ready(splat_loop(idx0, contrib, w))
+        out = jax.block_until_ready(
+            splat_loop(idx0, contrib, jnp.int32(0), w))
         if ref is None:
             ref = out
         else:
             assert bool(jnp.allclose(ref, out, atol=1e-3)), w
     best = {}
-    for _ in range(5):
+    for r in range(5):
         for w in (3, 8, 4):
             t0 = time.perf_counter()
-            jax.block_until_ready(splat_loop(idx0, contrib, w))
+            jax.block_until_ready(
+                splat_loop(idx0, contrib, jnp.int32(1 + r), w))
             dt = (time.perf_counter() - t0) / K
             best[w] = min(best.get(w, 1e9), dt)
     for w, dt in best.items():

@@ -54,10 +54,13 @@ def main():
         "random sortkey": (rro[p], rrd[p]),
     }
 
-    @jax.jit
-    def walk(ro_, rd_):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("w",))
+    def walk(ro_, rd_, w):
         t, pr, _ = packet_tpu.packet_traverse(
-            dev, static, ro_, rd_, 1e-3, jnp.inf, any_hit=False)
+            dev, static, ro_, rd_, 1e-3, jnp.inf, any_hit=False,
+            packet_w=w)
         return t, pr
 
     # trivial jitted op: the same-process dispatch floor to subtract
@@ -65,28 +68,32 @@ def main():
     def trivial(x):
         return jnp.sum(x)
 
+    WIDTHS = (128, 256, 512)
     args = {k: (jnp.asarray(a), jnp.asarray(b)) for k, (a, b) in
             cases.items()}
     for k, (a, b) in args.items():
-        out = jax.block_until_ready(walk(a, b))
-        hits = float(jnp.mean((out[1] >= 0).astype(jnp.float32)))
-        print(f"{k}: hit-rate {hits:.3f}", flush=True)
+        for w in WIDTHS:
+            out = jax.block_until_ready(walk(a, b, w))
+            hits = float(jnp.mean((out[1] >= 0).astype(jnp.float32)))
+            print(f"{k} W={w}: hit-rate {hits:.3f}", flush=True)
 
     floor = 1e9
-    best = {k: 1e9 for k in cases}
+    best = {(k, w): 1e9 for k in cases for w in WIDTHS}
     for _ in range(6):
         t0 = time.perf_counter()
         jax.block_until_ready(trivial(args["random sortkey"][0]))
         floor = min(floor, time.perf_counter() - t0)
         for k, (a, b) in args.items():
-            t0 = time.perf_counter()
-            jax.block_until_ready(walk(a, b))
-            best[k] = min(best[k], time.perf_counter() - t0)
+            for w in WIDTHS:
+                t0 = time.perf_counter()
+                jax.block_until_ready(walk(a, b, w))
+                best[(k, w)] = min(best[(k, w)], time.perf_counter() - t0)
     print(f"dispatch floor: {floor * 1e3:.2f} ms", flush=True)
-    npk = n // packet_tpu.PACKET_W
-    for k, t in best.items():
+    for (k, w), t in sorted(best.items()):
         tt = t - floor
-        print(f"{k:20s}: {t * 1e3:8.2f} ms ({n / tt / 1e6:6.2f} Mrays/s, "
+        npk = n // w
+        print(f"{k:20s} W={w:4d}: {t * 1e3:8.2f} ms "
+              f"({n / tt / 1e6:6.2f} Mrays/s, "
               f"{tt / npk * 1e6:7.2f} us/packet)", flush=True)
 
 
