@@ -4,11 +4,14 @@ Re-expression of the reference BDPT (pathtracer.cu:1393-1970). Each lane
 owns one camera subpath and one light subpath stored as fixed-capacity SoA
 vertex arrays [N, K] in HBM (the CUDA version keeps 67-vertex arrays in
 local memory per thread, pathtracer.cu:1944-1945). Subpath generation is a
-`lax.scan` over bounces that scatters vertices at per-lane write indices;
-the s,t connection double-loop becomes a single `lax.fori_loop` over
-strategy pairs so one compiled body serves every (s,t) — all lanes process
-the same strategy in lockstep and lanes whose subpaths are shorter are
-masked. Film splats (the s==1 strategies) use deterministic scatter-adds
+`lax.scan` over bounces that scatters vertices at per-lane write indices.
+The s,t connection double-loop runs as DENSE [N, G] strategy grids
+(G = n_verts-1): the strategy index maps to the grid column, so per-item
+vertex fetches are contiguous slices of the [N, K] tables, MIS runs
+against the un-gathered pdf tables, and only the shadow-ray transmittance
+walker sees compacted items (chunked while_loop work-queue) — see the
+comment at the grid block for the measured TPU anatomy that forced this
+shape. Film splats (the s==1 strategies) use deterministic scatter-adds
 instead of atomicAdd (pathtracer.cu:1958-1961).
 
 Semantics matched to the reference:
@@ -106,6 +109,23 @@ def _col(arr, i):
     """arr[:, i] for a traced scalar i (clipped)."""
     return jax.lax.dynamic_index_in_dim(
         arr, jnp.clip(i, 0, arr.shape[1] - 1), axis=1, keepdims=False)
+
+
+def _colv(arr, i):
+    """Column pick of a [N, K] table: i a traced scalar -> [N, 1]
+    (dynamic slice); i a [1, G] (or [N, G]) strategy vector -> [N, G]
+    via K where-selects of [N, 1] columns (clipped). Per-element
+    [N*G, K] gathers run ~130 Melem/s on TPU; column selects are pure
+    vector ops that XLA fuses (CLAUDE.md)."""
+    k = arr.shape[1]
+    i = jnp.clip(i, 0, k - 1)
+    if jnp.ndim(i) == 0:
+        return jax.lax.dynamic_index_in_dim(arr, i, axis=1,
+                                            keepdims=True)
+    out = jnp.broadcast_to(arr[:, 0:1], (arr.shape[0], i.shape[-1]))
+    for c in range(1, k):
+        out = jnp.where(i == c, arr[:, c:c + 1], out)
+    return out
 
 
 def _convert_pdf(pdf, from_pos, to_pos, to_nor):
@@ -334,29 +354,41 @@ def _remap(x):
     return jnp.where(x == 0.0, 1.0, x)
 
 
-def _mis_weight(cam: Vertices, light: Vertices, s, t,
+def _mis_weight(cam_fwd, cam_rev, cam_delta, light_fwd, light_rev,
+                light_delta, s, t,
                 c1_rev, c2_rev, l1_rev, l2_rev, l0_fwd):
     """Iterative MIS weight (pathtracer.cu:1690-1718) with the Connect
     cases' temporary pdf overrides passed functionally: c1/c2 replace
-    cam.rev at s-1/s-2; l1/l2 replace light.rev at t-1/t-2; l0_fwd
-    replaces light.fwd[0] when t == 1 (NaN = no override)."""
-    k_cam = cam.fwd.shape[1]
-    k_light = light.fwd.shape[1]
+    cam_rev at s-1/s-2; l1/l2 replace light_rev at t-1/t-2; l0_fwd
+    replaces light_fwd[:, 0] when t == 1 (NaN = no override).
+
+    Dense-grid shape contract: the pdf/delta tables stay [N, K] (the
+    whole Vertices tables — nothing is gathered); s and t are a python
+    int or a [1, G] strategy-column vector; the overrides are [N, G]
+    per-item values. _colv turns table column picks into [N, 1]
+    (scalar index, a dynamic slice) or [N, G] (vector index, K
+    where-selects of [N, 1] columns) — both broadcast against the
+    [N, G] accumulators, so the [N*G, K] per-item pdf rows the previous
+    design row-gathered are never materialized. Returns [N, G]."""
+    k_cam = cam_fwd.shape[1]
+    k_light = light_fwd.shape[1]
+    n = c1_rev.shape[0]
+    g = c1_rev.shape[1]
 
     def cam_body(d, carry):
         sum_w, ri = carry
         i = s - 1 - d
         m = i >= 1
         rev_i = jnp.where(i == s - 1, c1_rev,
-                          jnp.where(i == s - 2, c2_rev, _col(cam.rev, i)))
-        ri = jnp.where(m, ri * _remap(rev_i) / _remap(_col(cam.fwd, i)), ri)
-        ok = m & ~_col(cam.delta, i) & ~_col(cam.delta, i - 1)
+                          jnp.where(i == s - 2, c2_rev, _colv(cam_rev, i)))
+        ri = jnp.where(m, ri * _remap(rev_i) / _remap(_colv(cam_fwd, i)),
+                       ri)
+        ok = m & ~_colv(cam_delta, i) & ~_colv(cam_delta, i - 1)
         return jnp.where(ok, sum_w + ri, sum_w), ri
 
-    n = c1_rev.shape[0]
-    ones = jnp.ones(n, jnp.float32)
+    ones = jnp.ones((n, g), jnp.float32)
     sum_w, _ = jax.lax.fori_loop(
-        0, k_cam, cam_body, (jnp.zeros(n, jnp.float32), ones))
+        0, k_cam, cam_body, (jnp.zeros((n, g), jnp.float32), ones))
 
     def light_body(d, carry):
         sum_w, ri = carry
@@ -364,18 +396,26 @@ def _mis_weight(cam: Vertices, light: Vertices, s, t,
         m = i >= 0
         rev_i = jnp.where(i == t - 1, l1_rev,
                           jnp.where(i == t - 2, l2_rev,
-                                    _col(light.rev, i)))
-        fwd_i = _col(light.fwd, i)
+                                    _colv(light_rev, i)))
+        fwd_i = _colv(light_fwd, i)
         fwd_i = jnp.where((i == 0) & (t == 1), l0_fwd, fwd_i)
         ri = jnp.where(m, ri * _remap(rev_i) / _remap(fwd_i), ri)
         # delta of the neighbor toward the light end (i==0 -> itself)
-        d_prev = _col(light.delta, jnp.maximum(i - 1, 0))
-        ok = m & ~_col(light.delta, i) & ~d_prev
+        d_prev = _colv(light_delta, jnp.maximum(i - 1, 0))
+        ok = m & ~_colv(light_delta, i) & ~d_prev
         return jnp.where(ok, sum_w + ri, sum_w), ri
 
     sum_w, _ = jax.lax.fori_loop(0, k_light, light_body, (sum_w, ones))
     w = 1.0 / (1.0 + sum_w)
     return jnp.where(s + t == 2, jnp.ones_like(w), w)
+
+
+# Tr work-queue chunk count: valid connections are compacted to a
+# prefix and the transmittance walker runs on fixed-size chunks of
+# mm/TR_CHUNKS inside a while_loop — ONE compiled Tr body per case,
+# ceil(valid/C) executions. 16 puts the chunk near the proven 262k
+# tracking width at 512^2 depth 17 (mm = 4.4M).
+TR_CHUNKS = 16
 
 
 def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
@@ -398,48 +438,98 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
     film = jnp.zeros((static.width * static.height, 3), jnp.float32)
     cam = scene.camera
 
-    n_pairs = n_verts * (n_verts + 1)
+    # ---- dense [N, G] strategy grids ------------------------------------
+    # In-jit anatomy of the per-(s,t)-round form (2026-08-20, cornell
+    # 512^2 depth 17): a round costs ~24 ms whether it runs 262k lanes
+    # or a 4k compacted prefix — rounds are FIXED-OP-COUNT bound, so 340
+    # rounds cost ~20 s no matter how small the math gets, and per-item
+    # compaction gathers (measured 0.035 spp/s) only add byte-bound
+    # row-gather traffic on top. The fix exploits that one strategy
+    # index maps to the grid COLUMN: in a round batched over g, the
+    # per-item vertex index t-1 = g+1 is STATIC PER COLUMN, so vertex
+    # fetches are contiguous [:, 1:1+G] slices of the [N, K] tables
+    # (full HBM bandwidth, zero gathers), MIS runs in [N, G] shape
+    # against the un-gathered [N, K] pdf tables (_colv selects), and
+    # only the transmittance walker sees compacted items (narrow w8
+    # row gathers of the actual connections, chunked while_loop).
+    #   gen: one round per s (t = column)  -> n_verts-1 rounds
+    #   t0 / t1 / s1: ONE round each (s or t = column)
+    # 340 rounds / 306 Tr calls collapse to 20 rounds / ~20-30 Tr
+    # chunk executions with the same arithmetic work.
+    G = n_verts - 1
+    mm = n * G
+    gcol = jnp.arange(G, dtype=jnp.int32) + 2        # strategy 2..K
+    g2 = gcol[None, :]                               # [1, G]
+    lane_of_item = jnp.arange(mm, dtype=jnp.int32) // G
 
-    def pair_round(p, s, t, case, valid, carry):
-        """One (s, t) connection round, specialized to a STATIC case
-        ('t0' | 't1' | 's1' | 'gen') — the original all-case body did
-        every case's BSDF evals, light/camera sampling AND a film
-        scatter-add per round and selected afterwards; at depth 17 that
-        is 342 rounds x 4 cases x full-lane work with 342 scatters (the
-        scatter alone is tens of ms on TPU). Specialization computes one
-        case per round and scatters only in the n_verts-1 s==1 rounds.
-        Output is bit-identical: the per-(s,t) rng keys (5000+p / 9000+p)
-        are unchanged, each case's math is verbatim, and the MIS pdf
-        overrides of the other cases are provably masked inside
-        _mis_weight (their i-index tests fail for this case's s/t), so
-        NaN stands in for them."""
+    def _vslice(v: Vertices, lo):
+        """Vertex records at column g+lo for every (lane, g) item:
+        contiguous slices of the [N, K(,c)] tables, flattened [mm, c]."""
+        sl = slice(lo, lo + G)
+        return dict(
+            pos=v.pos[:, sl].reshape(mm, 3),
+            nor=v.nor[:, sl].reshape(mm, 3),
+            uv=v.uv[:, sl].reshape(mm, 2),
+            dpdu=v.dpdu[:, sl].reshape(mm, 3),
+            beta=v.beta[:, sl].reshape(mm, 3),
+            mat_idx=v.mat_idx[:, sl].reshape(mm),
+            light_idx=v.light_idx[:, sl].reshape(mm),
+            med=v.medium[:, sl].reshape(mm),
+            delta=v.delta[:, sl].reshape(mm))
+
+    def _vat(v: Vertices, i):
+        """Vertex records at one traced scalar column i, broadcast to
+        the item grid (dynamic slice + broadcast — still no gathers)."""
+        def b(x):
+            x = _col(x, i)                          # [N(,c)]
+            return jnp.broadcast_to(
+                x[:, None], (n, G) + x.shape[1:]).reshape(
+                    (mm,) + x.shape[1:])
+        return dict(pos=b(v.pos), nor=b(v.nor), uv=b(v.uv),
+                    dpdu=b(v.dpdu), beta=b(v.beta),
+                    mat_idx=b(v.mat_idx), light_idx=b(v.light_idx),
+                    med=b(v.medium), delta=b(v.delta))
+
+    def dense_round(case, p, s, t, c1, c2, l1, l2, valid2, carry):
+        """One batched connection round, specialized to a STATIC case
+        ('t0' | 't1' | 's1' | 'gen'), over the dense [N, G] item grid.
+
+        s/t: python int or [1, G] strategy columns. c1/c2 (camera side,
+        at s-1/s-2) and l1/l2 (light side, t-1/t-2) are flat [mm, c]
+        record dicts built by _vslice/_vat. All case math runs
+        full-width flat [mm] (same arithmetic the 17 separate rounds
+        did); masked items compute garbage that is discarded. The
+        per-round rng key is p; draws are per-item so strategies stay
+        independent (estimator equivalent to the per-(s,t) rounds, not
+        bit-identical — goldens regenerated)."""
         li, film = carry
+        m = mm
+        valid = valid2.reshape(mm)
         rng = RngStream(jax.random.fold_in(key, 5000 + p))
-        nanf = jnp.full(n, jnp.nan, jnp.float32)
+        nanf = jnp.full(m, jnp.nan, jnp.float32)
 
-        # gathered connection vertices (indices clipped; masked lanes
-        # compute garbage that is discarded)
+        # flat-broadcast strategy indices where case math needs them
         if case in ("t0", "t1", "gen"):
-            c1p, c1n = _col(cam_v.pos, s - 1), _col(cam_v.nor, s - 1)
-            c2p, c2n = _col(cam_v.pos, s - 2), _col(cam_v.nor, s - 2)
-            c1_beta = _col(cam_v.beta, s - 1)
-            c1_mat_idx = _col(cam_v.mat_idx, s - 1)
-            c1_light = _col(cam_v.light_idx, s - 1)
-            c1_uv = _col(cam_v.uv, s - 1)
-            c1_dpdu = _col(cam_v.dpdu, s - 1)
-            c1_med = _col(cam_v.medium, s - 1)
-            c1_delta = _col(cam_v.delta, s - 1)
+            c1p, c1n = c1["pos"], c1["nor"]
+            c2p, c2n = c2["pos"], c2["nor"]
+            c1_beta = c1["beta"]
+            c1_mat_idx = c1["mat_idx"]
+            c1_light = c1["light_idx"]
+            c1_uv = c1["uv"]
+            c1_dpdu = c1["dpdu"]
+            c1_med = c1["med"]
+            c1_delta = c1["delta"]
             c1_is_med = c1_mat_idx == -1
             in_c1 = normalize(c2p - c1p)   # toward the camera side
         if case in ("s1", "gen"):
-            l1p, l1n = _col(light_v.pos, t - 1), _col(light_v.nor, t - 1)
-            l2p, l2n = _col(light_v.pos, t - 2), _col(light_v.nor, t - 2)
-            l1_beta = _col(light_v.beta, t - 1)
-            l1_mat_idx = _col(light_v.mat_idx, t - 1)
-            l1_uv = _col(light_v.uv, t - 1)
-            l1_dpdu = _col(light_v.dpdu, t - 1)
-            l1_med = _col(light_v.medium, t - 1)
-            l1_delta = _col(light_v.delta, t - 1)
+            l1p, l1n = l1["pos"], l1["nor"]
+            l2p, l2n = l2["pos"], l2["nor"]
+            l1_beta = l1["beta"]
+            l1_mat_idx = l1["mat_idx"]
+            l1_uv = l1["uv"]
+            l1_dpdu = l1["dpdu"]
+            l1_med = l1["med"]
+            l1_delta = l1["delta"]
             l1_is_med = l1_mat_idx == -1
             l1_mat = bsdf_mod.gather_materials(
                 scene, static, l1_mat_idx, l1_uv)
@@ -452,7 +542,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             """fr and forward pdf at a vertex: BSDF or phase
             (pathtracer.cu:1775-1786, 1829-1836, 1888-1898)."""
             ph = media_mod.phase(scene, med_idx, w_in, w_out) \
-                if static.has_media else jnp.zeros(n, jnp.float32)
+                if static.has_media else jnp.zeros(m, jnp.float32)
             fr_s, pdf_s = bsdf_mod.eval_bsdf(
                 mat, w_in, w_out, nor, dpdu, static.material_types)
             fr = jnp.where(is_med[:, None], ph[:, None], fr_s)
@@ -476,10 +566,10 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
 
         if case == "t1":
             # ==== case t == 1: NEE from the camera path (cu:1750-1809) ===
-            u_pick = rng.uniform((n,))
+            u_pick = rng.uniform((m,))
             pick_idx, choice1 = lights_mod.pick_light(scene, u_pick)
             pick_idx = jnp.minimum(pick_idx, max(static.n_lights - 1, 0))
-            lu1, lu2 = rng.uniform2((n,))
+            lu1, lu2 = rng.uniform2((m,))
             rad1, _, sd1, st1, lnor1, lpdf1 = lights_mod.sample_area_light(
                 scene, pick_idx, c1p, lu1, lu2, eps)
             light_pos1 = c1p + sd1 * (st1 + eps)[:, None]
@@ -514,7 +604,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             _, cam_pdfw2 = camera_mod.pdf_camera(cam, -sd2)
             _, rev_pdf2 = surf_or_phase(
                 l1_is_med, l1_med, l1_mat, l1n, l1_dpdu, sd2, in_l1)
-            cam_pos = jnp.broadcast_to(cam.position, (n, 3))
+            cam_pos = jnp.broadcast_to(cam.position, (m, 3))
             case_valid = valid & (cpdf2 != 0.0) \
                 & ~(~l1_is_med & l1_delta) & ~is_black(L2pre)
             Lpre = L2pre
@@ -552,69 +642,119 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             sh_o, sh_d, sh_med = c1p, c1_to_l1, c1_med
             sh_t = jnp.sqrt(d2g) - eps
 
-        # ---- one shadow ray (t0 connects along an existing segment, so
-        # its tr was the original's constant 1 — a no-op multiply) -------
-        if case != "t0" and "tr" not in KNOCK:
-            tr = media_mod.transmittance(
-                scene, static, sh_med, sh_o, sh_d,
-                jnp.where(case_valid, sh_t, 0.0),
-                jax.random.fold_in(key, 9000 + p), case_valid)
-            case_valid &= ~is_black(tr)
-            Lpre = Lpre * tr
-
-        # ---- contribution + MIS -----------------------------------------
+        # ---- contribution + MIS (pre-Tr: mis is independent of tr; the
+        # shadow-ray transmittance multiplies in below) -------------------
         if "mis" in KNOCK:
-            mis = jnp.full(n, 0.5, jnp.float32)
+            mis = jnp.full(m, 0.5, jnp.float32)
         else:
-            mis = _mis_weight(cam_v, light_v, s, t, c1_rev, c2_rev,
-                              l1_rev, l2_rev, l0_fwd)
+            mis = _mis_weight(
+                cam_v.fwd, cam_v.rev, cam_v.delta,
+                light_v.fwd, light_v.rev, light_v.delta, s, t,
+                c1_rev.reshape(n, G), c2_rev.reshape(n, G),
+                l1_rev.reshape(n, G), l2_rev.reshape(n, G),
+                l0_fwd.reshape(n, G)).reshape(m)
         L = Lpre * mis[:, None]
 
         ok = case_valid & jnp.all(jnp.isfinite(L), axis=-1) & ~is_black(L)
+        L = jnp.where(ok[:, None], L, 0.0)
 
-        # s==1 -> splat at the sampled raster; else own pixel (cu:1952-1967)
+        # s==1 -> splat at the sampled raster; else the item's own lane
+        # (cu:1952-1967). A lane appears once per strategy g in the
+        # grid, so the li accumulation must combine duplicates
+        # (reshape-sum full-width; scatter-add in the Tr chunks).
         if case == "s1":
-            splat_idx = jnp.where(ok, rx2 + ry2 * static.width, 0)
-            film = film.at[splat_idx].add(jnp.where(ok[:, None], L, 0.0))
+            idx = jnp.where(ok, rx2 + ry2 * static.width, 0)
         else:
-            li = li + jnp.where(ok[:, None], L, 0.0)
+            idx = lane_of_item
+
+        if case == "t0" or "tr" in KNOCK:
+            # no shadow ray: t0 connects along an existing path segment,
+            # so its tr was the original's constant 1 (a no-op multiply)
+            if case == "s1":
+                film = film.at[idx].add(L)
+            else:
+                li = li + L.reshape(n, G, 3).sum(axis=1)
+            return li, film
+
+        # ---- chunked compacted Tr work-queue + scatter ------------------
+        # Valid connections are a small fraction of the grid (gen mean
+        # ~6%): compact them to a prefix and run the transmittance
+        # walker + the final scatter on fixed-size chunks in a
+        # while_loop — ONE compiled Tr body per case, ceil(cnt/C)
+        # executions. The gathered payload is two w8 rows per item
+        # (w8 is a measured-fast gather width; CLAUDE.md).
+        packA = jnp.concatenate([
+            sh_o, sh_d, jnp.where(ok, sh_t, 0.0)[:, None],
+            sh_med.astype(jnp.float32)[:, None]], axis=1)     # [m, 8]
+        packB = jnp.concatenate([
+            L, idx.astype(jnp.float32)[:, None],
+            jnp.zeros((m, 4), jnp.float32)], axis=1)          # [m, 8]
+        src, cnt = media_mod._compact_partition(ok)
+        C = max(min(m, 4096), m // TR_CHUNKS)
+        n_chunks = -(-m // C)
+        src_pad = jnp.concatenate(
+            [src, jnp.zeros(n_chunks * C - m, jnp.int32)])
+
+        def chunk(state):
+            ch, li, film = state
+            sel = jax.lax.dynamic_slice(src_pad, (ch * C,), (C,))
+            A = jnp.take(packA, sel, axis=0)
+            B = jnp.take(packB, sel, axis=0)
+            act = ch * C + jnp.arange(C, dtype=jnp.int32) < cnt
+            tr = media_mod.transmittance(
+                scene, static, A[:, 7].astype(jnp.int32), A[:, 0:3],
+                A[:, 3:6], jnp.where(act, A[:, 6], 0.0),
+                jax.random.fold_in(key, 9000 + 32 * p + ch), act)
+            Lc = jnp.where(act[:, None], B[:, 0:3] * tr, 0.0)
+            idx_c = B[:, 3].astype(jnp.int32)
+            if case == "s1":
+                film = film.at[idx_c].add(Lc)
+            else:
+                li = li.at[idx_c].add(Lc)
+            return ch + 1, li, film
+
+        _, li, film = jax.lax.while_loop(
+            lambda st: st[0] * C < cnt, chunk, (jnp.int32(0), li, film))
         return li, film
 
-    def run_case(case, s_of, t_of):
-        def body(i, carry):
-            s = s_of(i)
-            t = t_of(i)
-            p = (s - 1) * (n_verts + 1) + t
-            # whole-round skip: rounds where NO lane has subpaths that
-            # long reduce to this predicate (helps small renders; at
-            # production lane counts some lane usually qualifies)
-            pre = lane_mask & (s <= cam_v.count) & (t <= light_v.count)
-            return jax.lax.cond(
-                jnp.any(pre),
-                lambda c: pair_round(p, s, t, case, pre, c),
-                lambda c: c, carry)
-        return body
-
+    # ---- the four batched rounds ---------------------------------------
     carry = (li, film)
     skip_all = "connect" in KNOCK
+    cc = cam_v.count
+    lc = light_v.count
+
+    def guard(pre2, fn, carry):
+        """Whole-round skip when no item qualifies (record slicing and
+        all round math stay inside the cond branch)."""
+        return jax.lax.cond(jnp.any(pre2), fn, lambda c: c, carry)
+
     if not (skip_all or "s1" in KNOCK):
-        carry = jax.lax.fori_loop(
-            0, n_verts - 1, run_case("s1", lambda i: i * 0 + 1,
-                                     lambda i: i + 2), carry)
+        pre2 = (lane_mask & (1 <= cc))[:, None] & (g2 <= lc[:, None])
+        carry = guard(pre2, lambda c: dense_round(
+            "s1", 1, 1, g2, None, None,
+            _vslice(light_v, 1), _vslice(light_v, 0), pre2, c), carry)
     if n_verts >= 2 and not skip_all:
         if "t0" not in KNOCK:
-            carry = jax.lax.fori_loop(
-                0, n_verts - 1, run_case("t0", lambda i: i + 2,
-                                         lambda i: i * 0), carry)
+            pre2 = lane_mask[:, None] & (g2 <= cc[:, None])
+            carry = guard(pre2, lambda c: dense_round(
+                "t0", 2, g2, 0, _vslice(cam_v, 1), _vslice(cam_v, 0),
+                None, None, pre2, c), carry)
         if "t1" not in KNOCK:
-            carry = jax.lax.fori_loop(
-                0, n_verts - 1, run_case("t1", lambda i: i + 2,
-                                         lambda i: i * 0 + 1), carry)
+            pre2 = (lane_mask & (1 <= lc))[:, None] \
+                & (g2 <= cc[:, None])
+            carry = guard(pre2, lambda c: dense_round(
+                "t1", 3, g2, 1, _vslice(cam_v, 1), _vslice(cam_v, 0),
+                None, None, pre2, c), carry)
         if "gen" not in KNOCK:
-            carry = jax.lax.fori_loop(
-                0, (n_verts - 1) * (n_verts - 1),
-                run_case("gen", lambda i: i // (n_verts - 1) + 2,
-                         lambda i: i % (n_verts - 1) + 2), carry)
+            def gen_body(i, carry):
+                s = i + 2
+                pre2 = (lane_mask & (s <= cc))[:, None] \
+                    & (g2 <= lc[:, None])
+                return guard(pre2, lambda c: dense_round(
+                    "gen", 4 + i, s, g2, _vat(cam_v, s - 1),
+                    _vat(cam_v, s - 2), _vslice(light_v, 1),
+                    _vslice(light_v, 0), pre2, c), carry)
+            carry = jax.lax.fori_loop(0, n_verts - 1, gen_body, carry)
     li, film = carry
 
     bad = jnp.any(~jnp.isfinite(li), axis=-1)
