@@ -122,3 +122,35 @@ def test_deterministic_given_seed(cornell_small):
     a = _render(cornell_small, IntegratorType.PT, 2, seed=7)
     b = _render(cornell_small, IntegratorType.PT, 2, seed=7)
     np.testing.assert_array_equal(a, b)
+
+
+def test_shadow_sorted_occlusion_matches_direct(cornell_small):
+    """The shadow-ray sort (common._occluded_sorted) must return the
+    exact same occlusion verdicts as the direct any-hit call — the sort
+    only permutes walk order and scatters verdicts back by lane id."""
+    from gpu_pathtracer_tpu.integrators import common
+    from gpu_pathtracer_tpu.scene.flatten import flatten_scene
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev, static = flatten_scene(cornell_small)
+    rs = np.random.RandomState(3)
+    n = 8192
+    pos = jnp.asarray(rs.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+                      * np.array([1, 1, 1], np.float32)
+                      + np.array([0, 1, 0], np.float32))
+    sd = rs.normal(size=(n, 3)).astype(np.float32)
+    sd /= np.linalg.norm(sd, axis=-1, keepdims=True)
+    sd = jnp.asarray(sd)
+    st = jnp.asarray(rs.uniform(0.1, 2.5, n).astype(np.float32))
+    cand = jnp.asarray(rs.uniform(size=n) > 0.2)
+    try:
+        common.FORCE_SHADOW_SORT = False
+        a = np.asarray(common._occluded_sorted(
+            dev, static, pos, sd, st, cand, 1e-4))
+        common.FORCE_SHADOW_SORT = True
+        b = np.asarray(common._occluded_sorted(
+            dev, static, pos, sd, st, cand, 1e-4))
+    finally:
+        common.FORCE_SHADOW_SORT = None
+    assert (a == b).all()

@@ -62,6 +62,7 @@ def main():
     VARIANTS = [
         ("full", frozenset(), static0),
         ("no-nee-walk", frozenset({"nee_walk"}), static0),   # shadow walks
+        ("no-nee-sort", frozenset({"nee_sort"}), static0),   # unsorted walk
         ("no-nee", frozenset({"nee"}), static0),  # + light sampling math
         ("no-sort", frozenset({"sort"}), static0),
         ("depth1", frozenset(), dataclasses.replace(static0, max_depth=1)),

@@ -40,9 +40,13 @@ def main():
     target = jnp.asarray([0.0, 1.95, 0.0])
     ro = ro * 0.3 + jnp.asarray([0.0, 0.5, 2.5]) * 0.7
     rd = target[None, :] - ro
-    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    dist = jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = rd / dist
     med = jnp.zeros(n, jnp.int32)
-    tmax = jnp.full(n, 3.5, jnp.float32)
+    # stop just SHORT of the light like a real NEE shadow ray — a fixed
+    # overshooting tmax hit the ceiling behind it and every lane came
+    # back blocked (tr = 0) before any tracking work ran
+    tmax = dist[:, 0] * 0.98
     act = jnp.ones(n, bool)
 
     REPS = 4
