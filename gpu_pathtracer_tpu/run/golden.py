@@ -163,6 +163,9 @@ def main(argv=None):
                     help="override scene depth (speeds up the 17-bounce "
                          "scenes; structure converges by depth ~8)")
     ap.add_argument("--out", default=None, help="dir to save our renders")
+    ap.add_argument("--json", default=None,
+                    help="write the summary (plus run metadata) to this "
+                         "path — the committed GOLDEN_r{N}.json artifact")
     args = ap.parse_args(argv)
 
     from gpu_pathtracer_tpu.run.renderer import enable_compile_cache
@@ -175,6 +178,14 @@ def main(argv=None):
                            args.out, args.max_depth)
         results[name] = {"rmse": round(rmse, 4), "pass": ok}
     print(json.dumps(results))
+    if args.json:
+        import jax
+        payload = {"spp": args.spp, "size": args.size,
+                   "backend": jax.default_backend(),
+                   "results": results,
+                   "all_pass": all(v["pass"] for v in results.values())}
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
     if not all(v["pass"] for v in results.values()):
         sys.exit(1)
 
