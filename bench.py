@@ -1,6 +1,17 @@
 """Benchmark harness: Mrays/s (traverse+shade) across the 3 traversal
-regimes. Run on the real TPU (default env). Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+regimes plus the full 8-integrator matrix. Run on the real TPU (default
+env). Prints ONE JSON line per completed stage — each line is the full
+merged result-so-far, so a driver kill at ANY point still leaves the
+last printed line as a complete, parseable artifact of everything that
+finished (round-4 failure: one terminal print + driver timeout =>
+parsed:null). The final line is the complete result.
+
+Budget discipline (BENCH_BUDGET seconds, default 1500):
+- per-stage subprocess timeouts are capped by the remaining budget;
+- stages skipped for budget print -2.0 (vs -1.0 for a real failure);
+- every stage records the SAME-PROCESS dispatch floor (trivial jitted
+  op, min-of-reps) so shared-chip contention is visible per row
+  (CLAUDE.md: the floor swings 5-23 ms between processes).
 
 The headline metric stays cornell_box PT at 1024² (the fused-megakernel
 dense regime, comparable across rounds); the matrix adds the blocked/
@@ -25,6 +36,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 TARGET_MRAYS = 200.0
 MAX_DEPTH = 5
+BUDGET = float(os.environ.get("BENCH_BUDGET", 1500))
+T0 = time.time()
+PARTIAL_PATH = os.path.join(REPO, "BENCH_partial.json")
 
 SCENES = [
     # (key, path, size, timed iters)
@@ -36,6 +50,45 @@ SCENES = [
 # BENCH_SMOKE=1: tiny sizes to validate the harness itself (CPU-safe)
 if os.environ.get("BENCH_SMOKE"):
     SCENES = [(k, p, 32, 1) for k, p, _, _ in SCENES]
+
+
+def _remaining() -> float:
+    return BUDGET - (time.time() - T0)
+
+
+def _dispatch_floor_ms() -> float:
+    """Min-of-reps cost of a trivial jitted op in THIS process — the
+    per-call tunnel/dispatch floor, recorded per stage so a contended
+    chip is distinguishable from a code regression (verdict r4 weak #2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    x = jnp.ones((128,), jnp.float32)
+    jax.block_until_ready(trivial(x))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trivial(x))
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1e3, 2)
+
+
+def emit(partial: dict) -> None:
+    """Stream the merged result-so-far: one full JSON line to stdout +
+    BENCH_partial.json on disk. The LAST line printed is always a
+    complete artifact of everything finished so far."""
+    line = json.dumps(partial)
+    print(line, flush=True)
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 def bench_scene(path, size, iters):
@@ -90,25 +143,25 @@ def bench_scene(path, size, iters):
 # full integrator matrix on cornell 512^2 at the scene's own depth (17)
 # — mirrors the reference's per-frame dispatch over all integrator
 # kernels (pathtracer.cu:2711-2745), plus MLT (which the reference stubs
-# but we implement). (name, timed iters)
-INTEG_MATRIX = [("ao", 8), ("pt", 8), ("vpt", 2), ("lt", 2),
-                ("bdpt", 1), ("sppm", 4), ("ir", 8), ("mlt", 8)]
+# but we implement). (name, timed iters). Ordered fastest-compile/
+# cheapest-first so a budget cut hits the fewest rows.
+INTEG_MATRIX = [("ao", 8), ("pt", 8), ("ir", 8), ("mlt", 8),
+                ("sppm", 4), ("vpt", 2), ("lt", 2), ("bdpt", 1)]
 
-# per-stage wall clock bound: warm steady-state stages finish in well
-# under this; a watchdog-scale hang (the round-3 SPPM failure mode) gets
-# reaped without blanking later stages
-STAGE_TIMEOUT = 1500
+# absolute per-stage wall bound (a watchdog-scale hang gets reaped
+# without blanking later stages); the EFFECTIVE timeout is
+# min(this, remaining budget) so the whole bench fits BUDGET.
+STAGE_TIMEOUT = 600
 
 
 def run_stage(name, iters, size):
     """One integrator stage, in-process. Prints one JSON line."""
-    import time
-
     from gpu_pathtracer_tpu.run.renderer import (Renderer,
                                                  enable_compile_cache)
     from gpu_pathtracer_tpu.scene.parse import _INTEGRATOR_MAP, load_scene
     enable_compile_cache()
 
+    floor_ms = _dispatch_floor_ms()
     host = load_scene("/root/reference/scenes/cornell_box/scene.json")
     host.width = host.height = size
     r = Renderer(host, integrator=_INTEGRATOR_MAP[name])
@@ -117,43 +170,52 @@ def run_stage(name, iters, size):
     r.render(iters)
     dt = (time.time() - t0) / iters
     print(f"# integ {name}: {1 / dt:.3f} spp/s @{size}^2 "
-          f"depth {r.static.max_depth}", file=sys.stderr)
-    print(json.dumps({"spp_s": round(1.0 / dt, 4)}))
+          f"depth {r.static.max_depth} (floor {floor_ms} ms)",
+          file=sys.stderr)
+    print(json.dumps({"spp_s": round(1.0 / dt, 4), "floor_ms": floor_ms}))
 
 
-def bench_integrators(size=512):
-    """Each stage runs in its OWN subprocess (own TPU client): one crashed
-    or hung kernel can no longer blank every later row of the artifact
-    (round-3 failure: SPPM's watchdog kill turned IR's row into -1 too)."""
+def bench_integrators(partial, size=512):
+    """Each stage runs in its OWN subprocess (own TPU client): one
+    crashed or hung kernel can no longer blank every later row of the
+    artifact (round-3 failure: SPPM's watchdog kill turned IR's row into
+    -1 too). Streams the merged partial after every stage."""
     import subprocess
 
     if os.environ.get("BENCH_SMOKE"):
         size = 32
-    out = {}
     for name, iters in INTEG_MATRIX:
+        key = f"integ_{name}_spp_s_512"
+        left = _remaining()
+        if left < 30:
+            print(f"# integ {name}: SKIPPED (budget exhausted, "
+                  f"{left:.0f}s left)", file=sys.stderr)
+            partial[key] = -2.0
+            emit(partial)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--stage", name, str(iters), str(size)],
-                capture_output=True, text=True, timeout=STAGE_TIMEOUT,
-                cwd=REPO)
+                capture_output=True, text=True,
+                timeout=min(STAGE_TIMEOUT, left), cwd=REPO)
             sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
             if proc.returncode == 0:
-                out[name] = json.loads(proc.stdout.strip().splitlines()[-1])[
-                    "spp_s"]
+                row = json.loads(proc.stdout.strip().splitlines()[-1])
+                partial[key] = row["spp_s"]
+                partial[f"integ_{name}_floor_ms"] = row["floor_ms"]
             else:
                 print(f"# integ {name}: FAILED (rc={proc.returncode})",
                       file=sys.stderr)
-                out[name] = -1.0
+                partial[key] = -1.0
         except subprocess.TimeoutExpired:
-            print(f"# integ {name}: FAILED (timeout {STAGE_TIMEOUT}s)",
-                  file=sys.stderr)
-            out[name] = -1.0
+            print(f"# integ {name}: FAILED (timeout)", file=sys.stderr)
+            partial[key] = -1.0
         except Exception as e:
             print(f"# integ {name}: FAILED ({type(e).__name__}: {e})",
                   file=sys.stderr)
-            out[name] = -1.0
-    return out
+            partial[key] = -1.0
+        emit(partial)
 
 
 def main():
@@ -165,34 +227,48 @@ def main():
     enable_compile_cache()  # timings exclude compile (warmup); the cache
     # makes repeated bench runs start fast
 
-    results = {}
+    partial = {
+        "metric": f"Mrays/s traverse+shade (cornell_box PT 1024x1024 "
+                  f"depth {MAX_DEPTH}, v5e)",
+        "value": -1.0,
+        "unit": "Mrays/s",
+        "vs_baseline": -1.0,
+        "budget_s": BUDGET,
+        "floor_ms": _dispatch_floor_ms(),
+    }
+    emit(partial)
+
     for key, path, size, iters in SCENES:
-        mrays, spp_s, rays_iter = bench_scene(path, size, iters)
-        results[key] = (mrays, spp_s)
+        if _remaining() < 60 and key != "cornell":
+            print(f"# {key}: SKIPPED (budget)", file=sys.stderr)
+            partial[f"{key}_mrays"] = -2.0
+            emit(partial)
+            continue
+        try:
+            mrays, spp_s, rays_iter = bench_scene(path, size, iters)
+        except Exception as e:
+            print(f"# {key}: FAILED ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            partial[f"{key}_mrays"] = -1.0
+            emit(partial)
+            continue
         print(f"# {key} PT {size}x{size} depth={MAX_DEPTH}: "
               f"{spp_s:.3f} spp/s, {mrays:.1f} Mrays/s "
               f"({rays_iter / 1e6:.1f} Mrays/iter)", file=sys.stderr)
-    integ = bench_integrators()
+        if key == "cornell":
+            partial["value"] = round(mrays, 3)
+            partial["vs_baseline"] = round(mrays / TARGET_MRAYS, 4)
+            # the user-facing render speed; Mrays/s undercounts
+            # estimator improvements that need FEWER rays per sample
+            partial["spp_per_s_1024"] = round(spp_s, 3)
+        else:
+            partial[f"{key}_mrays"] = round(mrays, 3)
+            partial[f"{key}_spp_s_512"] = round(spp_s, 3)
+        emit(partial)
 
-    mrays = results["cornell"][0]
-    print(json.dumps({
-        "metric": f"Mrays/s traverse+shade (cornell_box PT 1024x1024 "
-                  f"depth {MAX_DEPTH}, v5e)",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-        # the user-facing render speed; Mrays/s undercounts estimator
-        # improvements that need FEWER rays per sample
-        "spp_per_s_1024": round(results["cornell"][1], 3),
-        # large-scene regimes (BASELINE sponza-class target)
-        "dragon_100k_mrays": round(results["dragon_100k"][0], 3),
-        "dragon_100k_spp_s_512": round(results["dragon_100k"][1], 3),
-        "forest_1m_mrays": round(results["forest_1m"][0], 3),
-        "forest_1m_spp_s_512": round(results["forest_1m"][1], 3),
-        # all 8 integrators (7 reference + our real MLT), cornell 512^2
-        # at the scene depth (17): spp/s keyed integ_<name>
-        **{f"integ_{k}_spp_s_512": v for k, v in integ.items()},
-    }))
+    bench_integrators(partial)
+    partial["total_s"] = round(time.time() - T0, 1)
+    emit(partial)
 
 
 if __name__ == "__main__":

@@ -720,8 +720,9 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             sh_o, sh_d, jnp.where(ok, sh_t, 0.0)[:, None],
             sh_med.astype(jnp.float32)[:, None]], axis=1)     # [m, 8]
         packB = jnp.concatenate([
-            L, idx.astype(jnp.float32)[:, None],
-            jnp.zeros((m, 4), jnp.float32)], axis=1)          # [m, 8]
+            L, jnp.zeros((m, 5), jnp.float32)], axis=1)       # [m, 8]
+        idx_i32 = idx.astype(jnp.int32)  # kept integral: f32 packing
+        # would silently corrupt indices >= 2^24 (ADVICE r4)
         src, cnt = media_mod._compact_partition(ok)
         C = max(min(m, 4096), m // TR_CHUNKS)
         n_chunks = -(-m // C)
@@ -739,7 +740,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
                 A[:, 3:6], jnp.where(act, A[:, 6], 0.0),
                 jax.random.fold_in(key, 9000 + 32 * p + ch), act)
             Lc = jnp.where(act[:, None], B[:, 0:3] * tr, 0.0)
-            idx_c = B[:, 3].astype(jnp.int32)
+            idx_c = jnp.take(idx_i32, sel)
             if case == "s1":
                 film = film.at[idx_c].add(Lc)
             else:

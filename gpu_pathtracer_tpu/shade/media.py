@@ -148,7 +148,8 @@ def _density_oct(scene, med_idx, med_n, pos_norm):
 
     Identical sampling semantics to `_density` (medium.h:160-178):
     grid coords ps = pos_norm * n, cell floor(ps), corners zeroed outside
-    [0, n-1]; corner values carry <=2^-9 relative truncation error,
+    [0, n-1]; corner values carry <=2^-7 relative truncation error
+    (bf16 truncation = 1 ulp of a 7-bit mantissa; measured max 0.0076),
     always downward (never above the supervoxel majorant).
     """
     K, Dz1, Dy1, Dx1, _ = scene.med_density_oct4.shape
