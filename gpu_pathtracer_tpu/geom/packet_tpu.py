@@ -85,6 +85,14 @@ LANES = 128
 PACKET_W = int(os.environ.get("PTPU_PACKET_W", "256"))
                         # rays per packet; < 1024 runs sub-packets of an
                         # 8-row block (Mosaic block-shape rule)
+PACKET_W_INST = int(os.environ.get("PTPU_PACKET_W_INST", "512"))
+                        # instanced (TLAS) walks want WIDER packets: the
+                        # r4 sim said W128 cuts union cost/ray 1.9x, but
+                        # the TPU A/B (2026-08-20, forest, two runs,
+                        # interleaved min-of-reps) says the per-packet
+                        # fixed cost (instance slab tests + SMEM sort +
+                        # setup) dominates: W512 beats W256 by ~5-6% and
+                        # W128 LOSES 1.25x; W1024 over-inflates unions.
 NN = int(os.environ.get("PTPU_NN", "4"))   # node rows popped / iteration
 NL = int(os.environ.get("PTPU_NL", "4"))   # leaf rows popped / iteration
 FUSE = int(os.environ.get("PTPU_FUSE", "1"))  # sub-packets walked per
@@ -1030,7 +1038,9 @@ def packet_traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool,
     trustworthy comparison on the shared chip)."""
     nn = NN if nn is None else nn
     nl = NL if nl is None else nl
-    packet_w = PACKET_W if packet_w is None else packet_w
+    if packet_w is None:
+        packet_w = (PACKET_W_INST if getattr(static, "bvh8_n_inst", 0)
+                    else PACKET_W)
     fuse = FUSE if fuse is None else fuse
     n = ro.shape[0]
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))

@@ -219,11 +219,24 @@ def _traverse(scene, static, ro, rd, tmin, tmax, any_hit: bool):
     return best_t, best_prim, best_prim >= 0
 
 
+# Below this many lanes the pure-XLA dense intersector beats the Pallas
+# dense kernel on TPU: the Pallas call carries a ~1.3-2 ms fixed cost
+# (dispatch + per-call VMEM table load) regardless of lane count, while
+# the XLA brute-force path fuses into the surrounding program. BDPT's
+# compacted Tr chunks (<= 4096 lanes x 8 walk segments x 323 calls/iter)
+# paid ~6.5 s/iter of that fixed cost alone (r4 anatomy).
+XLA_DENSE_MAX_LANES = 8192
+
+
 def intersect_any(scene, static, ro, rd, tmin, tmax):
     """Any-hit (shadow) query — reference IntersectP (pathtracer.cu:257-296).
     Returns a bool mask [N]."""
     from gpu_pathtracer_tpu.geom import dense, packet
     on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu and ro.shape[0] <= XLA_DENSE_MAX_LANES
+            and static.n_primitives <= dense.DENSE_MAX
+            and not static.bvh8_n_inst):
+        on_tpu = False  # small batch: the fused XLA path wins
     if static.bvh8_n_inst:
         # instanced (TLAS/BLAS) scenes: only the Pallas kernel reads the
         # instanced table (interpret-mode off-TPU, for tests)
@@ -259,11 +272,16 @@ def intersect_closest(scene, static, ro, rd, tmin, tmax) -> Hit:
     """
     from gpu_pathtracer_tpu.geom import dense, packet
     on_tpu = jax.default_backend() == "tpu"
+    interpret_kernel = not on_tpu
+    if (on_tpu and ro.shape[0] <= XLA_DENSE_MAX_LANES
+            and static.n_primitives <= dense.DENSE_MAX
+            and not static.bvh8_n_inst):
+        on_tpu = False  # small batch: the fused XLA path wins
     if static.bvh8_n_inst:
         from gpu_pathtracer_tpu.geom import packet_tpu
         best_t, best_prim, found = packet_tpu.packet_traverse(
             scene, static, ro, rd, tmin, tmax, any_hit=False,
-            interpret=not on_tpu)
+            interpret=interpret_kernel)
     elif static.n_primitives <= dense.DENSE_MAX:
         if on_tpu:
             from gpu_pathtracer_tpu.geom import dense_tpu

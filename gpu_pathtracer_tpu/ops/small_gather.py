@@ -64,6 +64,13 @@ def small_table_lookup(table, idx):
     """
     if jax.default_backend() != "tpu":
         return jnp.take(table, idx, axis=0)
+    m_total = 1
+    for s in idx.shape:
+        m_total *= s
+    if m_total <= 65536:
+        # small batch: XLA's serialized gather (~130 Melem/s => <=0.5 ms)
+        # beats the Pallas call's ~1.3-2 ms fixed cost, and fuses
+        return jnp.take(table, idx, axis=0)
     t = table.shape[0]
     n_groups = (t + LANES - 1) // LANES
     assert n_groups <= MAX_GROUPS, f"table too large: {t}"
