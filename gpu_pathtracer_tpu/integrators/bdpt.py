@@ -57,6 +57,12 @@ INTERFACE_BUDGET = 8
 # anatomy harness mutates this; production traces see the empty set.
 KNOCK: frozenset = frozenset()
 
+# Split strategy columns into [2, 10) + [10, G+2) blocks so the rare
+# long-subpath columns run as a separate lane-compacted round. Measured
+# perf-neutral on cornell depth 17 (see the driver comment); kept as an
+# A/B knob, off by default to hold compile time down.
+COLUMN_BLOCKS = False
+
 
 @struct.dataclass
 class Vertices:
@@ -484,60 +490,76 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
     # 340 rounds / 306 Tr calls collapse to 20 rounds / ~20-30 Tr
     # chunk executions with the same arithmetic work.
     G = n_verts - 1
-    mm = n * G
-    # STATIC numpy strategy columns: index arithmetic against g2 stays
-    # numpy, so _colv column picks resolve to trace-time slices
-    g2 = (np.arange(G, dtype=np.int32) + 2)[None, :]      # [1, G]
-    g2j = jnp.asarray(g2)
-    lane_of_item = jnp.arange(mm, dtype=jnp.int32) // G
     # override-free MIS suffix tables, once per iteration (round-
     # independent; see _mis_tables)
     cam_ok, cam_A = _mis_tables(cam_v, 1)
     light_ok, light_A = _mis_tables(light_v, 0)
 
-    def _vslice(v: Vertices, lo):
+    def _vslice(v: Vertices, lo, gw=None):
         """Vertex records at column g+lo for every (lane, g) item:
-        contiguous slices of the [N, K(,c)] tables, flattened [mm, c]."""
-        sl = slice(lo, lo + G)
+        contiguous slices of the [Nr, K(,c)] tables, flattened
+        [Nr*gw, c]. Works on the full wavefront and on lane-compacted
+        sub-Vertices alike (Nr from the input shape)."""
+        gw = G if gw is None else gw
+        lo = max(lo, 0)
+        sl = slice(lo, lo + gw)
+        mr = v.pos.shape[0] * gw
         return dict(
-            pos=v.pos[:, sl].reshape(mm, 3),
-            nor=v.nor[:, sl].reshape(mm, 3),
-            uv=v.uv[:, sl].reshape(mm, 2),
-            dpdu=v.dpdu[:, sl].reshape(mm, 3),
-            beta=v.beta[:, sl].reshape(mm, 3),
-            mat_idx=v.mat_idx[:, sl].reshape(mm),
-            light_idx=v.light_idx[:, sl].reshape(mm),
-            med=v.medium[:, sl].reshape(mm),
-            delta=v.delta[:, sl].reshape(mm))
+            pos=v.pos[:, sl].reshape(mr, 3),
+            nor=v.nor[:, sl].reshape(mr, 3),
+            uv=v.uv[:, sl].reshape(mr, 2),
+            dpdu=v.dpdu[:, sl].reshape(mr, 3),
+            beta=v.beta[:, sl].reshape(mr, 3),
+            mat_idx=v.mat_idx[:, sl].reshape(mr),
+            light_idx=v.light_idx[:, sl].reshape(mr),
+            med=v.medium[:, sl].reshape(mr),
+            delta=v.delta[:, sl].reshape(mr))
 
-    def _vat(v: Vertices, i):
+    def _vat(v: Vertices, i, gw=None):
         """Vertex records at one traced scalar column i, broadcast to
         the item grid (dynamic slice + broadcast — still no gathers)."""
+        nr = v.pos.shape[0]
+        gw = G if gw is None else gw
+
         def b(x):
-            x = _col(x, i)                          # [N(,c)]
+            x = _col(x, i)                          # [Nr(,c)]
             return jnp.broadcast_to(
-                x[:, None], (n, G) + x.shape[1:]).reshape(
-                    (mm,) + x.shape[1:])
+                x[:, None], (nr, gw) + x.shape[1:]).reshape(
+                    (nr * gw,) + x.shape[1:])
         return dict(pos=b(v.pos), nor=b(v.nor), uv=b(v.uv),
                     dpdu=b(v.dpdu), beta=b(v.beta),
                     mat_idx=b(v.mat_idx), light_idx=b(v.light_idx),
                     med=b(v.medium), delta=b(v.delta))
 
-    def dense_round(case, p, s, t, c1, c2, l1, l2, valid2, carry):
+    mis6_full = (cam_v.fwd, cam_ok, cam_A, light_v.fwd, light_ok, light_A)
+
+    def dense_round(case, p, s, t, c1, c2, l1, l2, valid2, carry,
+                    lane_ids=None, mis6=None):
         """One batched connection round, specialized to a STATIC case
-        ('t0' | 't1' | 's1' | 'gen'), over the dense [N, G] item grid.
+        ('t0' | 't1' | 's1' | 'gen'), over a dense [Nr, G] item grid.
 
         s/t: python int or [1, G] strategy columns. c1/c2 (camera side,
-        at s-1/s-2) and l1/l2 (light side, t-1/t-2) are flat [mm, c]
+        at s-1/s-2) and l1/l2 (light side, t-1/t-2) are flat [Nr*G, c]
         record dicts built by _vslice/_vat. All case math runs
-        full-width flat [mm] (same arithmetic the 17 separate rounds
+        full-width flat [Nr*G] (same arithmetic the 17 separate rounds
         did); masked items compute garbage that is discarded. The
         per-round rng key is p; draws are per-item so strategies stay
         independent (estimator equivalent to the per-(s,t) rounds, not
-        bit-identical — goldens regenerated)."""
+        bit-identical — goldens regenerated).
+
+        Nr defaults to the full wavefront (lane_ids = arange(n)); the
+        LANE-COMPACTED gen rounds (see gen_body) pass the compacted
+        prefix's lane ids and row-gathered MIS tables instead — the
+        round body is identical, only narrower."""
         li, film = carry
-        m = mm
-        valid = valid2.reshape(mm)
+        n_r, G_r = valid2.shape
+        valid = valid2.reshape(-1)
+        m = n_r * G_r
+        if lane_ids is None:
+            lane_ids = jnp.arange(n, dtype=jnp.int32)
+        item_lane = jnp.repeat(lane_ids, G_r, total_repeat_length=m)
+        if mis6 is None:
+            mis6 = mis6_full
         rng = RngStream(jax.random.fold_in(key, 5000 + p))
         nanf = jnp.full(m, jnp.nan, jnp.float32)
 
@@ -681,11 +703,10 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             mis = jnp.full(m, 0.5, jnp.float32)
         else:
             mis = _mis_weight(
-                cam_v.fwd, cam_ok, cam_A,
-                light_v.fwd, light_ok, light_A, s, t,
-                c1_rev.reshape(n, G), c2_rev.reshape(n, G),
-                l1_rev.reshape(n, G), l2_rev.reshape(n, G),
-                l0_fwd.reshape(n, G)).reshape(m)
+                *mis6, s, t,
+                c1_rev.reshape(n_r, G_r), c2_rev.reshape(n_r, G_r),
+                l1_rev.reshape(n_r, G_r), l2_rev.reshape(n_r, G_r),
+                l0_fwd.reshape(n_r, G_r)).reshape(m)
         L = Lpre * mis[:, None]
 
         ok = case_valid & jnp.all(jnp.isfinite(L), axis=-1) & ~is_black(L)
@@ -698,7 +719,7 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
         if case == "s1":
             idx = jnp.where(ok, rx2 + ry2 * static.width, 0)
         else:
-            idx = lane_of_item
+            idx = item_lane
 
         if case == "t0" or "tr" in KNOCK:
             # no shadow ray: t0 connects along an existing path segment,
@@ -706,7 +727,9 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             if case == "s1":
                 film = film.at[idx].add(L)
             else:
-                li = li + L.reshape(n, G, 3).sum(axis=1)
+                # no unique_indices: compacted lane_ids may repeat past
+                # the active prefix (their L rows are zeroed)
+                li = li.at[lane_ids].add(L.reshape(n_r, G_r, 3).sum(axis=1))
             return li, film
 
         # ---- chunked compacted Tr work-queue + scatter ------------------
@@ -751,43 +774,120 @@ def render_lanes(scene, static, key, pixel_x, pixel_y, lane_mask):
             lambda st: st[0] * C < cnt, chunk, (jnp.int32(0), li, film))
         return li, film
 
-    # ---- the four batched rounds ---------------------------------------
+    # ---- the batched rounds: column blocks x lane-compaction ladder -----
+    # Measured occupancy (cornell depth 17, r5): subpaths RR-terminate at
+    # p50 length 5-6, so (a) P(cam_count >= s) drops below 0.08 from
+    # s = 7 on — most gen rounds run nearly empty — and (b) strategy
+    # columns t/s >= 10 are valid for < 4% of lanes, yet the dense
+    # [N, G=17] grid pays all 17 columns' math every round. Two
+    # orthogonal cuts with the SAME round body:
+    # - column BLOCKS: columns [2, 10) always run; [10, G+2) run as a
+    #   separate narrow round whose lanes (subpath length >= 10) are
+    #   rare enough to lane-compact;
+    # - lane-compaction LADDER: partition the block's active lanes to a
+    #   prefix and run the round at n/64 or n/8 width (row-gathered
+    #   sub-Vertices + MIS tables, scatter by lane id), falling back to
+    #   the dense full-width trace when occupancy is high (zero overhead
+    #   where compaction can't win).
     carry = (li, film)
     skip_all = "connect" in KNOCK
     cc = cam_v.count
     lc = light_v.count
+    sz64, sz8 = max(n // 64, 1), max(n // 8, 1)
+    # Column SPLIT is a measured NO-OP (2026-08-20 r5: 16.67 vs 16.60
+    # s/iter with blocks [2,10)+[10,G+2) at depth 17) — the rounds are
+    # not column-math-bound — while it ~2.5x'd XLA compile time (12 vs
+    # 6 round traces). Single block by default; flip COLUMN_BLOCKS for
+    # the experiment.
+    blocks = ([(2, 8), (10, G - 8)] if COLUMN_BLOCKS and G > 10
+              else [(2, G)])
 
-    def guard(pre2, fn, carry):
-        """Whole-round skip when no item qualifies (record slicing and
-        all round math stay inside the cond branch)."""
-        return jax.lax.cond(jnp.any(pre2), fn, lambda c: c, carry)
+    def round_block(case, p, s_arg, blk_lo, gw, comp_sizes, carry):
+        g2b = (np.arange(gw, dtype=np.int32) + blk_lo)[None, :]
+        g2bj = jnp.asarray(g2b)
+        if case == "t0":
+            act = lane_mask & (blk_lo <= cc)
+        elif case == "t1":
+            act = lane_mask & (1 <= lc) & (blk_lo <= cc)
+        elif case == "s1":
+            act = lane_mask & (blk_lo <= lc)
+        else:
+            act = lane_mask & (s_arg <= cc) & (blk_lo <= lc)
+
+        def build(cam_s, light_s, pre2_s, lane_ids, mis6, c):
+            if case == "gen":
+                return dense_round(
+                    case, p, s_arg, g2b,
+                    _vat(cam_s, s_arg - 1, gw), _vat(cam_s, s_arg - 2, gw),
+                    _vslice(light_s, blk_lo - 1, gw),
+                    _vslice(light_s, blk_lo - 2, gw),
+                    pre2_s, c, lane_ids=lane_ids, mis6=mis6)
+            if case == "s1":
+                return dense_round(
+                    case, p, 1, g2b, None, None,
+                    _vslice(light_s, blk_lo - 1, gw),
+                    _vslice(light_s, blk_lo - 2, gw),
+                    pre2_s, c, lane_ids=lane_ids, mis6=mis6)
+            return dense_round(
+                case, p, g2b, 0 if case == "t0" else 1,
+                _vslice(cam_s, blk_lo - 1, gw),
+                _vslice(cam_s, blk_lo - 2, gw), None, None,
+                pre2_s, c, lane_ids=lane_ids, mis6=mis6)
+
+        def run_dense(c):
+            col = cc if case in ("t0", "t1") else lc
+            pre2 = act[:, None] & (g2b <= col[:, None])
+            return build(cam_v, light_v, pre2, None, None, c)
+
+        if not comp_sizes:
+            return jax.lax.cond(jnp.any(act), run_dense,
+                                lambda c: c, carry)
+
+        src, cnt_l = media_mod._compact_partition(act)
+
+        def compacted(size):
+            def run(c):
+                sel = src[:size]
+                take = lambda a: jnp.take(a, sel, axis=0)
+                cam_s = jax.tree_util.tree_map(take, cam_v)
+                light_s = jax.tree_util.tree_map(take, light_v)
+                mis6 = (cam_s.fwd, take(cam_ok), take(cam_A),
+                        light_s.fwd, take(light_ok), take(light_A))
+                lane_act = jnp.arange(size) < cnt_l
+                col_s = cam_s.count if case in ("t0", "t1") \
+                    else light_s.count
+                pre2_s = lane_act[:, None] & (g2bj <= col_s[:, None])
+                return build(cam_s, light_s, pre2_s, sel, mis6, c)
+            return run
+
+        def run_sized(c):
+            body = run_dense
+            for size in reversed(comp_sizes):
+                body = (lambda sz_, nxt: lambda c2: jax.lax.cond(
+                    cnt_l <= sz_, compacted(sz_), nxt, c2))(size, body)
+            return body(c)
+
+        return jax.lax.cond(cnt_l > 0, run_sized, lambda c: c, carry)
 
     if not (skip_all or "s1" in KNOCK):
-        pre2 = (lane_mask & (1 <= cc))[:, None] & (g2 <= lc[:, None])
-        carry = guard(pre2, lambda c: dense_round(
-            "s1", 1, 1, g2, None, None,
-            _vslice(light_v, 1), _vslice(light_v, 0), pre2, c), carry)
+        for bi, (lo, gw) in enumerate(blocks):
+            carry = round_block("s1", 1 + 20 * bi, 1, lo, gw,
+                                [] if bi == 0 else [sz8], carry)
     if n_verts >= 2 and not skip_all:
         if "t0" not in KNOCK:
-            pre2 = lane_mask[:, None] & (g2 <= cc[:, None])
-            carry = guard(pre2, lambda c: dense_round(
-                "t0", 2, g2, 0, _vslice(cam_v, 1), _vslice(cam_v, 0),
-                None, None, pre2, c), carry)
+            carry = round_block("t0", 2, None, 2, G, [], carry)
         if "t1" not in KNOCK:
-            pre2 = (lane_mask & (1 <= lc))[:, None] \
-                & (g2 <= cc[:, None])
-            carry = guard(pre2, lambda c: dense_round(
-                "t1", 3, g2, 1, _vslice(cam_v, 1), _vslice(cam_v, 0),
-                None, None, pre2, c), carry)
+            for bi, (lo, gw) in enumerate(blocks):
+                carry = round_block("t1", 3 + 20 * bi, None, lo, gw,
+                                    [] if bi == 0 else [sz8], carry)
         if "gen" not in KNOCK:
             def gen_body(i, carry):
                 s = i + 2
-                pre2 = (lane_mask & (s <= cc))[:, None] \
-                    & (g2 <= lc[:, None])
-                return guard(pre2, lambda c: dense_round(
-                    "gen", 4 + i, s, g2, _vat(cam_v, s - 1),
-                    _vat(cam_v, s - 2), _vslice(light_v, 1),
-                    _vslice(light_v, 0), pre2, c), carry)
+                for bi, (lo, gw) in enumerate(blocks):
+                    carry = round_block(
+                        "gen", 4 + i + 40 * bi, s, lo, gw,
+                        [sz64, sz8] if bi == 0 else [sz8], carry)
+                return carry
             carry = jax.lax.fori_loop(0, n_verts - 1, gen_body, carry)
     li, film = carry
 

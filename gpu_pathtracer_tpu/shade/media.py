@@ -57,6 +57,17 @@ def _use_compaction():
 # candidates).
 FLAT_QUEUE = True
 
+# Tracking density table: u8-quantized rows ([*, 2] i32 carriers +
+# per-medium scale) instead of bf16 pairs ([*, 4]). Quantization rounds
+# DOWN (see flatten._pack_u8_oct) so majorants stay valid — but the TPU
+# A/B says NO (2026-08-20, cornell 512^2 VPT, interleaved min-of-reps:
+# u8 0.538 vs bf16 0.578 spp/s): the row gather is ROW-bound at width 4
+# (byte-bound only ABOVE w4 — tools/bench_density_gather.py), so
+# halving bytes buys nothing and the 8-byte unpack costs ~7%. Kept as a
+# measured-negative A/B knob; the remaining VPT cost is real candidate
+# work (fewer candidates, not narrower rows, is the lever).
+DENSITY_U8 = False
+
 
 def gather_medium(scene, med_idx):
     """Per-lane medium record from a packed fetch. med_idx may be -1
@@ -153,7 +164,6 @@ def _density_oct(scene, med_idx, med_n, pos_norm):
     always downward (never above the supervoxel majorant).
     """
     K, Dz1, Dy1, Dx1, _ = scene.med_density_oct4.shape
-    rows = scene.med_density_oct4.reshape(-1, 4)
 
     ps = pos_norm * med_n.astype(jnp.float32)
     psi = jnp.floor(ps)
@@ -163,11 +173,26 @@ def _density_oct(scene, med_idx, med_n, pos_norm):
     yi = jnp.clip(psi[:, 1].astype(jnp.int32) + 1, 0, Dy1 - 1)
     zi = jnp.clip(psi[:, 2].astype(jnp.int32) + 1, 0, Dz1 - 1)
     flat = (med_idx * (Dz1 * Dy1 * Dx1) + zi * (Dy1 * Dx1) + yi * Dx1 + xi)
-    v4 = jnp.take(rows, flat, axis=0)       # [M, 4] bf16-pair carriers
-    vi = jax.lax.bitcast_convert_type(v4, jnp.int32)
-    himask = jnp.int32(-65536)   # 0xFFFF0000
-    ve = jax.lax.bitcast_convert_type(vi & himask, jnp.float32)
-    vo = jax.lax.bitcast_convert_type(jnp.left_shift(vi, 16), jnp.float32)
+    if DENSITY_U8:
+        rows = scene.med_density_oct2.reshape(-1, 2)
+        v2 = jnp.take(rows, flat, axis=0)   # [M, 2] i32 u8x4 carriers
+        u = v2.astype(jnp.uint32)
+        # per-lane scale: K is tiny and static — select, never gather
+        scale = jnp.broadcast_to(scene.med_u8_scale[0], med_idx.shape)
+        for k in range(1, K):
+            scale = jnp.where(med_idx == k, scene.med_u8_scale[k], scale)
+        b = [((u[:, c // 4] >> (8 * (c % 4))) & 0xFF).astype(jnp.float32)
+             for c in range(8)]
+        ve = jnp.stack([b[0], b[2], b[4], b[6]], axis=1) * scale[:, None]
+        vo = jnp.stack([b[1], b[3], b[5], b[7]], axis=1) * scale[:, None]
+    else:
+        rows = scene.med_density_oct4.reshape(-1, 4)
+        v4 = jnp.take(rows, flat, axis=0)   # [M, 4] bf16-pair carriers
+        vi = jax.lax.bitcast_convert_type(v4, jnp.int32)
+        himask = jnp.int32(-65536)   # 0xFFFF0000
+        ve = jax.lax.bitcast_convert_type(vi & himask, jnp.float32)
+        vo = jax.lax.bitcast_convert_type(
+            jnp.left_shift(vi, 16), jnp.float32)
 
     fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
     d00 = ve[:, 0] * (1 - fx) + vo[:, 0] * fx
