@@ -22,6 +22,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 TILE = 8192
 MAX_GROUPS = 256  # tables up to 32768 entries (cost is O(groups))
+SMALL_M_XLA = 65536  # below this many gathered elements the XLA gather
+                     # beats the Pallas call's fixed cost (read at trace
+                     # time; A/B knob)
 
 
 def _kernel(tab_ref, idx_ref, out_ref, *, n_groups):
@@ -67,7 +70,7 @@ def small_table_lookup(table, idx):
     m_total = 1
     for s in idx.shape:
         m_total *= s
-    if m_total <= 65536:
+    if m_total <= SMALL_M_XLA:
         # small batch: XLA's serialized gather (~130 Melem/s => <=0.5 ms)
         # beats the Pallas call's ~1.3-2 ms fixed cost, and fuses
         return jnp.take(table, idx, axis=0)
